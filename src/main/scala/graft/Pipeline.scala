@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.canon.ConnectedComponents
+import graft.extract.HtmlText
+import graft.io.IcebergishTable
+import graft.link.Mentions
+import graft.materialize.GraphOut
+import graft.synth.PageSynth
+import graft.triples.TripleExtract
+
+/** End-to-end KG construction pipeline (SURVEY.md §7.2 #9, north_star):
+  *
+  *   pages (Iceberg-style table) ──scan (url, html) only──▶
+  *   deterministic HTML→text extraction ──▶ mention scan (broadcast trie)
+  *   ──▶ entity linking (broadcast hash join + tie-break window) ──▶
+  *   relation candidates ──▶ triples ──▶ canonicalization (large-star/
+  *   small-star CC over sameAs) ──▶ vertex/edge tables with per-partition
+  *   checkpoint + lineage.
+  *
+  * Defaults mirror the reference's configuration envelope
+  * (/root/reference/src/config.rs:112-114: parallelism 8, batch 100k):
+  * `partitions` plays parallelism, `outputBuckets` the shard count.
+  */
+final case class PipelineConfig(
+    seed: Long = 42L,
+    nPages: Long = 1000L,
+    partitions: Int = 32,
+    outputBuckets: Int = 32,
+    workDir: String = "/tmp/graft-pipeline",
+    runId: String = "run-1",
+    failAfterGroups: Int = -1
+)
+
+final case class PipelineStats(
+    pages: Long,
+    mentions: Long,
+    triples: Long,
+    vertices: Long,
+    edges: Long
+)
+
+object Pipeline {
+
+  /** Stage 0: synthesize the input table and materialize it Iceberg-style.
+    * Idempotent: skipped when the table already exists with the same
+    * snapshot contract (deterministic synthesis ⇒ same content).
+    */
+  def buildPagesTable(spark: SparkSession, cfg: PipelineConfig): String = {
+    val table = s"${cfg.workDir}/pages"
+    if (!IcebergishTable.exists(table)) {
+      val pages = PageSynth.pages(spark, cfg.seed, cfg.nPages, cfg.partitions)
+      IcebergishTable.write(pages.toDF, table, "url", cfg.outputBuckets)
+    }
+    table
+  }
+
+  /** Read pages projecting only (url, html) — Catalyst pushes the pruning
+    * into the parquet scan (the reference's projection pushdown, P1).
+    */
+  def readPagesForExtraction(spark: SparkSession, table: String): Dataset[Page] = {
+    import spark.implicits._
+    IcebergishTable.read(spark, table)
+      .select(col("url"), col("warc_ts"), col("html"), col("lang"))
+      .as[(String, java.sql.Timestamp, Array[Byte], String)]
+      .map { case (url, ts, html, lang) =>
+        Page(url, ts, html, HtmlText.extract(html), lang)
+      }
+  }
+
+  /** Run the full pipeline; returns stage row counts. */
+  def run(spark: SparkSession, cfg: PipelineConfig): PipelineStats = {
+    import spark.implicits._
+    val table = buildPagesTable(spark, cfg)
+    val pages = readPagesForExtraction(spark, table)
+
+    val aliasDict = PageSynth.aliasDictionary
+    val aliases = PageSynth.aliases(spark)
+    val phrases = PageSynth.relations.toMap
+
+    val mentions = Mentions.scan(pages, aliasDict)
+    val linked = Mentions.link(mentions, aliases).localCheckpoint()
+    val cands = TripleExtract.candidates(pages, aliasDict.map(_.alias).distinct, phrases)
+    val rawTriples = TripleExtract.triples(cands, linked)
+
+    val sameAs = PageSynth.sameAs(spark).toDF("src", "dst")
+    val canon = ConnectedComponents.components(sameAs)
+    val triples = TripleExtract.canonicalize(rawTriples, canon)
+      .localCheckpoint()
+
+    val ckpt = s"${cfg.workDir}/checkpoint"
+    val edgeStats = GraphOut.writeWithCheckpoint(
+      triples.toDF, s"${cfg.workDir}/edges", "subj", cfg.outputBuckets,
+      ckpt, cfg.runId, "edges", groupSize = 8,
+      failAfterGroups = cfg.failAfterGroups)
+    val verts = GraphOut.vertices(triples.toDF)
+    GraphOut.writeWithCheckpoint(
+      verts, s"${cfg.workDir}/vertices", "id", cfg.outputBuckets,
+      ckpt, cfg.runId, "vertices", groupSize = 8)
+
+    PipelineStats(
+      pages = spark.read.parquet(s"$table/data").count(),
+      mentions = linked.count(),
+      triples = triples.count(),
+      vertices = IcebergishTable.read(spark, s"${cfg.workDir}/vertices").count(),
+      edges = IcebergishTable.read(spark, s"${cfg.workDir}/edges").count()
+    )
+  }
+}

@@ -1,0 +1,88 @@
+package graft.canon
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connected components via alternating large-star / small-star rounds
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014), expressed as Catalyst-planned window aggregations + unions
+  * (SURVEY.md §7.2 #7).
+  *
+  * Works on any ordered id domain — here lexicographic strings — and picks
+  * the minimum id of each component as its representative. Each round is a
+  * window-min over a hash partitioning of the edge list (one shuffle per
+  * star step, no join-back, no collect_list — safe under high-degree hub
+  * nodes because large-star explicitly redistributes a hub's neighborhood
+  * to its minimum, which is exactly the skew case the north_rule calls
+  * out). The driver loop `localCheckpoint`s every round to cut lineage
+  * growth, and convergence is detected by an order-insensitive checksum
+  * (count + sum of xxhash64) of the canonical edge set.
+  */
+object ConnectedComponents {
+
+  private def largeStar(e: DataFrame): DataFrame = {
+    // Symmetric neighborhoods; for each u emit (v, min(N(u) ∪ {u})) for
+    // every neighbor v > u.
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val w = Window.partitionBy(col("src"))
+    sym
+      .withColumn("m", least(min(col("dst")).over(w), col("src")))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    // Orient each edge large→small; for each u over its smaller neighbors
+    // N = {v : v < u}: m = min(N); emit (v, m) for v ∈ N and (u, m).
+    val or = e
+      .where(col("src") =!= col("dst"))
+      .select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+    val w = Window.partitionBy(col("src"))
+    val withM = or.withColumn("m", min(col("dst")).over(w))
+    withM.select(col("dst").as("src"), col("m").as("dst"))
+      .union(withM.select(col("src"), col("m").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private def checksum(e: DataFrame): (Long, Long) = {
+    // Order-insensitive, overflow-free (ANSI mode) set fingerprint: the
+    // edge set is distinct, so xor of per-edge hashes identifies it.
+    val row = e.agg(
+      count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))
+    ).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Compute components of the graph given by an edge DataFrame with two
+    * string columns `src`, `dst`. Returns (id, component) covering every id
+    * that appears in the edge list; component = min id in the component.
+    */
+  def components(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var prev = checksum(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    // Converged state: every edge is (member, componentMin), member ≠ min.
+    val members = e.select(col("src").as("id"), col("dst").as("component"))
+    val reps = e.select(col("dst").as("id"), col("dst").as("component"))
+      .distinct()
+    members.union(reps).distinct()
+  }
+}

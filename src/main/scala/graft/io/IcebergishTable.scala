@@ -1,0 +1,112 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style table emulation (SURVEY.md §7.1): hash-partitioned parquet
+  * plus a tiny JSON manifest chain giving snapshot/append semantics.
+  *
+  * The sandbox ships no Iceberg runtime jar (offline coursier), so this
+  * module keeps the Iceberg *shape* — snapshot id, schema, partition spec,
+  * atomic commit via manifest swap — behind an API where
+  * `spark.read.format("iceberg").load(tbl)` would be a one-line swap on a
+  * real cluster. Layout:
+  *
+  *   table/
+  *     data/part=<k>/ *.parquet     (hash(bucket key) % numParts)
+  *     snap-<n>.json                (schema + partition list for snapshot n)
+  *     VERSION                      (current snapshot number; atomic rename)
+  *
+  * The hash partitioning mirrors the reference's shard map — shards grouped
+  * by server into a physical scan plan (/root/reference/src/sharding.rs:
+  * 320-365) — as explicit `part` buckets that a reader can plan against.
+  */
+object IcebergishTable {
+
+  val PartCol = "part"
+
+  def partExpr(keyCol: String, numParts: Int) =
+    pmod(xxhash64(col(keyCol)), lit(numParts)).cast("int")
+
+  private def dir(table: String): Path = Paths.get(table)
+
+  def currentSnapshot(table: String): Int = {
+    val v = dir(table).resolve("VERSION")
+    if (Files.exists(v)) new String(Files.readAllBytes(v), StandardCharsets.UTF_8).trim.toInt
+    else -1
+  }
+
+  private def commit(table: String, snapshot: Int, schemaJson: String,
+                     parts: Seq[Int], rows: Long): Unit = {
+    val d = dir(table)
+    Files.createDirectories(d)
+    val manifest =
+      s"""{"snapshot":$snapshot,"rows":$rows,"partitions":[${parts.sorted.mkString(",")}],
+         |"schema":$schemaJson}""".stripMargin.replace("\n", "")
+    Files.write(d.resolve(s"snap-$snapshot.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    // Atomic pointer swap = Iceberg's metadata commit.
+    val tmp = d.resolve("VERSION.tmp")
+    Files.write(tmp, snapshot.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, d.resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write `df` hash-bucketed on `keyCol` into `numParts` partitions,
+    * creating a new snapshot. `mode` Overwrite replaces the whole table;
+    * Append adds files to existing buckets (new snapshot either way).
+    */
+  def write(df: DataFrame, table: String, keyCol: String, numParts: Int,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val withPart = df.withColumn(PartCol, partExpr(keyCol, numParts))
+    withPart.write
+      .mode(mode)
+      .partitionBy(PartCol)
+      .parquet(dir(table).resolve("data").toString)
+    val rows = 0L // row count recorded by the checkpoint layer, not here
+    commit(table, currentSnapshot(table) + 1,
+      withPart.schema.json, 0 until numParts, rows)
+  }
+
+  /** Overwrite only the listed partitions (idempotent resume unit). */
+  def overwritePartitions(df: DataFrame, table: String, keyCol: String,
+                          numParts: Int, parts: Seq[Int]): Unit = {
+    val withPart = df
+      .withColumn(PartCol, partExpr(keyCol, numParts))
+      .where(col(PartCol).isin(parts: _*))
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      withPart.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(PartCol)
+        .parquet(dir(table).resolve("data").toString)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    commit(table, currentSnapshot(table) + 1, withPart.schema.json,
+      0 until numParts, 0L)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(dir(table).resolve("data").toString)
+
+  def exists(table: String): Boolean =
+    Files.exists(dir(table).resolve("VERSION"))
+
+  def drop(table: String): Unit = {
+    val d = dir(table)
+    if (Files.exists(d)) {
+      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.materialize
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.CheckpointRow
+import graft.io.IcebergishTable
+
+/** Thrown by the test-only fault injector to simulate a mid-job crash. */
+final class SimulatedFailure(msg: String) extends RuntimeException(msg)
+
+/** Graph materialization with per-partition checkpointed, idempotent writes
+  * (SURVEY.md §7.2 #8).
+  *
+  * Output tables are hash-bucketed [[IcebergishTable]]s. Buckets are written
+  * in groups; after each group's files are durable, one [[CheckpointRow]]
+  * per bucket (with lineage: input fingerprint, row count, wall ms) is
+  * appended. A re-run with the same (runId, stage) anti-joins pending
+  * buckets against completed checkpoint rows and recomputes only those —
+  * the reference's resumable batch-ack cursor re-expressed
+  * (/root/reference/src/sharding.rs:237-271).
+  */
+object GraphOut {
+
+  final case class WriteStats(partsWritten: Seq[Int], partsSkipped: Seq[Int],
+                              rowsWritten: Long)
+
+  /** Write `df` into `table`, bucketed on `keyCol` into `numParts` buckets,
+    * `groupSize` buckets per commit. `failAfterGroups >= 0` injects a crash
+    * after that many committed groups (tests only).
+    */
+  def writeWithCheckpoint(
+      df: DataFrame,
+      table: String,
+      keyCol: String,
+      numParts: Int,
+      ckptPath: String,
+      runId: String,
+      stage: String,
+      groupSize: Int = 8,
+      failAfterGroups: Int = -1
+  ): WriteStats = {
+    val spark = df.sparkSession
+    val done = Checkpoint.doneParts(spark, ckptPath, runId, stage)
+    val all = (0 until numParts).toSeq
+    val pending = all.filterNot(done)
+    val withPart = df.withColumn(IcebergishTable.PartCol,
+      IcebergishTable.partExpr(keyCol, numParts))
+
+    var written = 0L
+    var groups = 0
+    pending.grouped(groupSize).foreach { group =>
+      if (failAfterGroups >= 0 && groups >= failAfterGroups)
+        throw new SimulatedFailure(
+          s"injected failure after $groups groups (stage=$stage)")
+      val t0 = System.nanoTime()
+      val sub = withPart.where(col(IcebergishTable.PartCol).isin(group: _*))
+      // Lineage per bucket: row count + order-insensitive key fingerprint.
+      val stats = sub
+        .groupBy(col(IcebergishTable.PartCol))
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr(s"bit_xor(xxhash64($keyCol))"), lit(0L)).as("fp"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      IcebergishTable.overwritePartitions(df, table, keyCol, numParts, group)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val rows = group.map { p =>
+        val (n, fp) = stats.getOrElse(p, (0L, 0L))
+        written += n
+        CheckpointRow(runId, stage, p, java.lang.Long.toHexString(fp),
+          n, n, wallMs, "done")
+      }
+      // Ack strictly after the data files are durable.
+      Checkpoint.append(spark, ckptPath, rows)
+      groups += 1
+    }
+    WriteStats(pending, all.filter(done), written)
+  }
+
+  /** Vertex table from canonical triples: every subject/object id with its
+    * triple-degree as a property.
+    */
+  def vertices(triples: DataFrame): DataFrame = {
+    val ids = triples.select(col("subj").as("id"))
+      .union(triples.select(col("obj").as("id")))
+    ids.groupBy(col("id"))
+      .agg(count(lit(1)).as("degree"))
+      .select(
+        col("id"),
+        lit("entity").as("label"),
+        map(lit("degree"), col("degree").cast("string")).as("props"))
+  }
+}

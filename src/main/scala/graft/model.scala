@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Core data model of the KG-construction engine (SURVEY.md §1.4, §7.2).
+  *
+  * The reference models a graph as vertex/edge collections of schemaless JSON
+  * docs (/root/reference/src/graph_loader.rs:28-49); we fix the schemas as
+  * typed Datasets so Catalyst can prune/pushdown and Tungsten can codegen.
+  */
+
+/** Input row — matches BASELINE.json `input_hint` exactly:
+  * (url string, warc_ts timestamp, html binary, text string, lang string).
+  */
+final case class Page(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String
+)
+
+/** A detected surface-form occurrence in a page's extracted text.
+  * `begin`/`end` are character offsets into `text` (end exclusive).
+  */
+final case class Mention(
+    url: String,
+    mention: String,
+    begin: Int,
+    end: Int
+)
+
+/** A linked mention: mention + winning entity + link confidence. */
+final case class LinkedMention(
+    url: String,
+    mention: String,
+    begin: Int,
+    end: Int,
+    entity: String,
+    conf: Double
+)
+
+/** Alias-dictionary row (broadcast side of the link join).
+  * The reference's analog of a small metadata catalog
+  * (/root/reference/src/graph_loader.rs:1047-1109).
+  */
+final case class Alias(alias: String, entity: String, score: Double)
+
+/** Emitted triple — the reference's edge row (`_from`,`_to` + collection
+  * name, /root/reference/src/graph_loader.rs:629-641) becomes
+  * (subj, pred, obj) + provenance url + confidence.
+  */
+final case class Triple(
+    subj: String,
+    pred: String,
+    obj: String,
+    url: String,
+    conf: Double
+)
+
+/** Materialized vertex (post-canonicalization). */
+final case class Vertex(
+    id: String,
+    label: String,
+    props: Map[String, String],
+    part: Int
+)
+
+/** Materialized edge (post-canonicalization). */
+final case class Edge(
+    subj: String,
+    pred: String,
+    obj: String,
+    url: String,
+    part: Int
+)
+
+/** One row per completed partition of a stage — the Spark analog of the
+  * reference's batch-acknowledgement resume protocol
+  * (/root/reference/src/sharding.rs:237-239, :270-271): a partition is
+  * acknowledged (checkpoint row written) only after its data is durably
+  * written, so a crashed run resumes exactly at the pending partitions.
+  */
+final case class CheckpointRow(
+    run_id: String,
+    stage: String,
+    part: Int,
+    input_fingerprint: String,
+    rows_in: Long,
+    rows_out: Long,
+    wall_ms: Long,
+    status: String
+)

@@ -1,0 +1,98 @@
+package graft.triples
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.{LinkedMention, Page, Triple}
+import graft.link.{AliasTrie, Mentions}
+
+/** Relation candidate: two adjacent mentions in one sentence whose gap text
+  * equals a relation phrase. Carries offsets only — entity resolution joins
+  * in later (keeps page text out of the shuffle).
+  */
+final case class RelCandidate(
+    url: String,
+    beginA: Int,
+    beginB: Int,
+    pred: String
+)
+
+/** Triple extraction (SURVEY.md §7.2 #6).
+  *
+  * Pass 1 (narrow, fused with the mention scan): per page, find mention
+  * spans, then for consecutive spans within a block check the between-text
+  * against the broadcast relation-phrase map → [[RelCandidate]] rows. The
+  * heavy `text` column never leaves the scan stage — only (url, offsets,
+  * pred) rows do, mirroring how the reference ships only ids + projected
+  * fields out of decode (/root/reference/src/graph_loader.rs:455-471).
+  *
+  * Pass 2: join candidates to linked mentions on (url, begin) twice to
+  * resolve subj/obj entities; dedupe on (subj, pred, obj, url).
+  */
+object TripleExtract {
+
+  /** Pure per-page candidate scan — also used by tests. */
+  def scanCandidates(url: String, text: String, trie: AliasTrie,
+                     phrases: Map[String, String]): Seq[RelCandidate] = {
+    val ms = Mentions.scanText(url, text, trie)
+    val out = scala.collection.mutable.ArrayBuffer.empty[RelCandidate]
+    var i = 0
+    while (i + 1 < ms.length) {
+      val a = ms(i); val b = ms(i + 1)
+      val gap = text.substring(a.end, b.begin)
+      if (!gap.contains('\n')) {
+        val phrase = gap.trim
+        phrases.get(phrase).foreach { pred =>
+          out += RelCandidate(url, a.begin, b.begin, pred)
+        }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Distributed candidate scan: narrow flatMap over pages, no shuffle. */
+  def candidates(pages: Dataset[Page], aliasSurfaces: Seq[String],
+                 phrases: Map[String, String]): Dataset[RelCandidate] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val trieB = spark.sparkContext.broadcast(AliasTrie.build(aliasSurfaces))
+    val phrasesB = spark.sparkContext.broadcast(phrases)
+    pages.flatMap(p => scanCandidates(p.url, p.text, trieB.value, phrasesB.value))
+  }
+
+  /** Resolve candidates against linked mentions → deduped triples. */
+  def triples(cands: Dataset[RelCandidate],
+              linked: Dataset[LinkedMention]): Dataset[Triple] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val l = linked.select($"url", $"begin", $"entity", $"conf")
+    val subj = l.toDF("url", "beginA", "subj", "confA")
+    val obj = l.toDF("url", "beginB", "obj", "confB")
+    cands
+      .join(subj, Seq("url", "beginA"))
+      .join(obj, Seq("url", "beginB"))
+      .select($"subj", $"pred", $"obj", $"url",
+        least($"confA", $"confB").as("conf"))
+      .dropDuplicates("subj", "pred", "obj", "url")
+      .as[Triple]
+  }
+
+  /** Canonicalize subj/obj through a (id → component) mapping (broadcast —
+    * the mapping is dictionary-derived, hence broadcast-sized).
+    */
+  def canonicalize(ts: Dataset[Triple], canon: DataFrame): Dataset[Triple] = {
+    val spark = ts.sparkSession
+    import spark.implicits._
+    val m = canon.select($"id", $"component")
+    ts.join(broadcast(m.toDF("subj", "subj_c")), Seq("subj"), "left")
+      .join(broadcast(m.toDF("obj", "obj_c")), Seq("obj"), "left")
+      .select(
+        coalesce($"subj_c", $"subj").as("subj"),
+        $"pred",
+        coalesce($"obj_c", $"obj").as("obj"),
+        $"url", $"conf")
+      .dropDuplicates("subj", "pred", "obj", "url")
+      .as[Triple]
+  }
+}

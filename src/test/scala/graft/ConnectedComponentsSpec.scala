@@ -1,0 +1,92 @@
+package graft
+
+import graft.canon.ConnectedComponents
+import graft.synth.Rng
+
+/** CC correctness: closed-form fixtures (incl. the reference's own
+  * 10-vertex line graph, /root/reference/tests/graph_loader.rs:121-150)
+  * plus randomized comparison against a single-node union-find oracle and
+  * invariance properties (FIXTURES.md §7).
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(String, String)], parts: Int = 4): Map[String, String] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst").repartition(parts)
+    ConnectedComponents.components(df)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  /** Single-node union-find oracle. */
+  private def oracle(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // Normalize: representative = min id in component.
+    val groups = parent.keys.groupBy(find)
+    groups.flatMap { case (_, ids) =>
+      val m = ids.min
+      ids.map(_ -> m)
+    }.toMap
+  }
+
+  test("line graph 0-1-...-9 is a single component with rep 0") {
+    val edges = (0 until 9).map(i => (f"v$i%02d", f"v${i + 1}%02d"))
+    val got = cc(edges)
+    assert(got.values.toSet == Set("v00"))
+    assert(got.keySet == (0 to 9).map(i => f"v$i%02d").toSet)
+  }
+
+  test("star graph (1 hub, 50 spokes) is one component") {
+    val edges = (1 to 50).map(i => (f"s$i%03d", "hub"))
+    val got = cc(edges)
+    assert(got.values.toSet == Set("hub")) // "hub" < "s001"
+    assert(got.size == 51)
+  }
+
+  test("disjoint pairs and chains have closed-form components") {
+    val pairs = (0 until 20).map(i => (f"p${2 * i}%03d", f"p${2 * i + 1}%03d"))
+    val got = cc(pairs)
+    assert(got.values.toSet.size == 20)
+    (0 until 20).foreach { i =>
+      assert(got(f"p${2 * i + 1}%03d") == f"p${2 * i}%03d")
+    }
+  }
+
+  test("random graphs match the union-find oracle") {
+    (0 until 3).foreach { trial =>
+      val n = 120
+      val edges = (0 until 260).map { j =>
+        val a = Rng.nextInt(7L + trial, j.toLong, 0, n)
+        val b = Rng.nextInt(7L + trial, j.toLong, 1, n)
+        (f"n$a%04d", f"n$b%04d")
+      }.filter { case (a, b) => a != b }
+      assert(cc(edges, parts = 7) == oracle(edges), s"trial $trial")
+    }
+  }
+
+  test("result invariant under edge orientation, order, and partitioning") {
+    val edges = (0 until 150).map { j =>
+      (f"x${Rng.nextInt(99L, j.toLong, 0, 80)}%03d",
+       f"x${Rng.nextInt(99L, j.toLong, 1, 80)}%03d")
+    }.filter { case (a, b) => a != b }
+    val base = cc(edges, parts = 4)
+    assert(cc(edges.map(_.swap), parts = 4) == base)
+    assert(cc(edges.reverse, parts = 1) == base)
+    assert(cc(edges, parts = 16) == base)
+  }
+
+  test("sameAs fixture canonicalizes E01xx to E00xx") {
+    val got = cc(graft.synth.PageSynth.sameAsPairs)
+    (0 until graft.synth.PageSynth.DupRangeLen).foreach { i =>
+      assert(got(f"E${i + 100}%04d") == f"E$i%04d")
+      assert(got(f"E$i%04d") == f"E$i%04d")
+    }
+  }
+}
