@@ -130,6 +130,40 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))),
 
+    // ---- training-data ops over documents/embeddings ---------------------
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      // MinHash → banded LSH → candidate pairs → exact-jaccard verify.
+      // Oracle = brute-force shingle jaccard: recall at j≥0.5 is 1-1e-8.
+      ops.Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_simhash" -> ((s, dir) =>
+      ops.Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_embed_cosine" -> ((s, dir) =>
+      ops.Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", 0.5)),
+    "ann_brute_topk" -> ((s, dir) =>
+      ops.Ann.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+    "ann_lsh_topk" -> ((s, dir) =>
+      ops.Ann.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+    "embed_lsh_pairs" -> ((s, dir) =>
+      ops.Ann.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.4)),
+    "text_tokens" -> ((s, dir) =>
+      ops.TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text")),
+    "text_quality" -> ((s, dir) =>
+      ops.TextAnalysis.qualityScores(t(s, dir, "documents"), "doc_id", "text")),
+    "text_langid" -> ((s, dir) =>
+      ops.TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
+    "text_fingerprint" -> ((s, dir) =>
+      ops.TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    "text_winnow" -> ((s, dir) =>
+      ops.TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("sketch_size"))),
+    "multimodal_summary" -> ((s, _) => ops.Multimodal.summary(s)),
+
     // ---- KG pipeline stages on the synthesized pages table (rows-only) ---
     "kg_extract" -> ((s, _) => {
       import s.implicits._
@@ -196,6 +230,51 @@ object SparkEntry {
         "EXCEPT SELECT doc_id FROM documents WHERE n_chars < 150"),
     "dedup_exact" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies " +
-        "FROM documents GROUP BY text")
+        "FROM documents GROUP BY text"),
+    "dedup_minhash_lsh" -> ngramJaccardOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_embed_cosine" ->
+      ("SELECT a.vec_id AS ia, b.vec_id AS ib, " +
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
+        "AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.5"),
+    "ann_brute_topk" ->
+      ("SELECT b.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine " +
+        "FROM embeddings a, embeddings b " +
+        "WHERE a.vec_id = 0 AND b.vec_id <> 0 " +
+        "ORDER BY cosine DESC, b.vec_id ASC LIMIT 10"),
+    "text_tokens" ->
+      ("SELECT doc_id, length(text) AS n_chars, " +
+        "length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens, " +
+        "len(string_split(text, ' ')) AS n_tokens_split FROM documents"),
+    "text_quality" ->
+      ("SELECT doc_id, n_chars, n_tokens, mean_word_len, stopword_ratio, " +
+        "digit_ratio, punct_ratio, " +
+        "least(1.0, n_tokens / 64.0) * 0.5 " +
+        "+ least(1.0, stopword_ratio * 5.0) * 0.3 " +
+        "+ (1.0 - least(1.0, digit_ratio * 10.0)) * 0.2 AS quality_score " +
+        "FROM (SELECT doc_id, length(text) AS n_chars, " +
+        "len(string_split(text, ' ')) AS n_tokens, " +
+        "round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE / len(string_split(text, ' ')), 4) AS mean_word_len, " +
+        "round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')))::DOUBLE / len(string_split(text, ' ')), 4) AS stopword_ratio, " +
+        "round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS digit_ratio, " +
+        "round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio " +
+        "FROM documents)"),
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fingerprint FROM documents"
   )
+
+  /** Brute-force 3-gram-shingle jaccard in DuckDB — oracle for BOTH the
+    * exact inverted-index variant and the MinHash+LSH variant (whose
+    * recall at the 0.5 threshold is 1 - 1e-8 with 64 bands × 2 rows).
+    */
+  private val ngramJaccardOracle: String =
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+      "s AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+      "FOR i IN range(1, len(w) - 1)]) sh FROM d), " +
+      "p AS (SELECT a.doc_id ia, b.doc_id ib, " +
+      "round(len(list_intersect(a.sh, b.sh))::DOUBLE / " +
+      "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) jaccard " +
+      "FROM s a, s b WHERE a.doc_id < b.doc_id) " +
+      "SELECT ia, ib, jaccard FROM p WHERE jaccard >= 0.5"
 }

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.synth.Rng
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k with codegen'd array builtins
+  * (zip_with + aggregate — no UDF). Scale path: random-hyperplane LSH
+  * bucketing so each query probes only its bucket (+1-bit multiprobe),
+  * turning the O(N) scan into a bucket-local scan; buckets are
+  * hash-partitioned, so at 10^9 vectors the probe is a partition-pruned
+  * lookup rather than a full pass.
+  */
+object Ann {
+
+  /** Codegen'd dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** (id, unit-normalized double vector). Cosine becomes a plain dot. */
+  def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val asDouble = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol).as("id"), asDouble.as("v"))
+      .withColumn("n", norm(col("v")))
+      .where(col("n") > 0)
+      .select(col("id"), transform(col("v"), x => x / col("n")).as("v"))
+  }
+
+  /** Exact top-k by cosine for one query id (brute force over all rows). */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val v = normalized(df, idCol, vecCol)
+    val q = v.where(col("id") === queryId).select(col("v").as("qv"))
+    v.where(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", round(dot(col("v"), col("qv")), 4))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .select(col("id").as("vec_id"), col("cosine"))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes: nBits × dim sign projections. */
+  private[ops] def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nBits)(b =>
+      Array.tabulate(dim)(d => Rng.nextDouble(seed, b.toLong, d.toLong) * 2 - 1))
+
+  /** Sign-LSH bucket id of a vector. */
+  private[ops] def bucketOf(v: Array[Double], planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var b = 0
+    while (b < planes.length) {
+      var s = 0.0
+      val p = planes(b)
+      var d = 0
+      val n = math.min(p.length, v.length)
+      while (d < n) { s += p(d) * v(d); d += 1 }
+      if (s > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** Assign every vector its LSH bucket (narrow map; the index build). */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 nBits: Int = 10, seed: Long = 4242L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = normalized(df, idCol, vecCol).as[(Long, Seq[Double])]
+    val dim = v.head()._2.length
+    val planesB = spark.sparkContext.broadcast(hyperplanes(dim, nBits, seed))
+    v.map { case (id, vec) =>
+      (id, vec, Ann.bucketOf(vec.toArray, planesB.value))
+    }.toDF("id", "v", "bucket")
+  }
+
+  /** ANN top-k for one query id: probe the query's bucket plus all 1-bit
+    * neighbor buckets (multiprobe), rank by exact cosine within the probe
+    * set. Returns (vec_id, cosine).
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nBits: Int = 10,
+              seed: Long = 4242L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val indexed = lshBuckets(df, idCol, vecCol, nBits, seed).cache()
+    val qRow = indexed.where(col("id") === queryId)
+      .select(col("v"), col("bucket")).head()
+    val qBucket = qRow.getInt(1)
+    val probes = qBucket +: Array.tabulate(nBits)(b => qBucket ^ (1 << b))
+    val q = indexed.where(col("id") === queryId).select(col("v").as("qv"))
+    indexed
+      .where(col("bucket").isin(probes.map(Integer.valueOf): _*))
+      .where(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", round(dot(col("v"), col("qv")), 4))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .select(col("id").as("vec_id"), col("cosine"))
+      .limit(k)
+  }
+
+  /** Embedding near-dup pairs at scale: vectors meeting `minCosine` tend
+    * to share sign-LSH buckets; join within buckets only, verify by exact
+    * cosine. Complements [[Dedup.embeddingCosinePairs]] (brute force).
+    */
+  def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double, nBits: Int = 8,
+                     nTables: Int = 4, seed: Long = 99L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = normalized(df, idCol, vecCol).as[(Long, Seq[Double])]
+    val dim = v.head()._2.length
+    val allPlanes = Array.tabulate(nTables)(t =>
+      hyperplanes(dim, nBits, seed + t))
+    val planesB = spark.sparkContext.broadcast(allPlanes)
+    val buckets = v.flatMap { case (id, vec) =>
+      val arr = vec.toArray
+      planesB.value.zipWithIndex.map { case (planes, t) =>
+        (id, vec, t, Ann.bucketOf(arr, planes))
+      }
+    }.toDF("id", "v", "table", "bucket")
+    val cand = buckets.select(col("id").as("ia"), col("v").as("va"),
+        col("table"), col("bucket"))
+      .join(buckets.select(col("id").as("ib"), col("v").as("vb"),
+        col("table"), col("bucket")), Seq("table", "bucket"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("va"), col("vb"))
+      .dropDuplicates("ia", "ib")
+    cand.withColumn("cosine", round(dot(col("va"), col("vb")), 4))
+      .where(col("cosine") >= minCosine)
+      .select(col("ia"), col("ib"), col("cosine"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale notes (100 TB / 10^12-doc design):
+  *  - signatures (minhash/simhash) are computed in narrow map stages —
+  *    no shuffle until the band/bucket groupBy, whose key cardinality is
+  *    ~bands × docs, hash-partitioned.
+  *  - candidate verification joins only candidate pairs (LSH output),
+  *    never the full cross product; the exact inverted-index variant
+  *    exists as the small-scale oracle path.
+  *  - hot shingles (stopword-like) skew the inverted-index join → AQE
+  *    skew-join handles moderate skew; for web scale, drop shingles with
+  *    document frequency above a cap before the join (`maxDf`).
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content, keep the minimum id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Distinct word w-shingle array, computed with codegen'd builtins
+    * (split / sequence / transform / slice) — no UDF in the hot path.
+    */
+  def shingleCol(textCol: Column, w: Int): Column =
+    array_distinct(
+      when(size(split(textCol, " ")) < w, array(textCol))
+        .otherwise(transform(
+          sequence(lit(0), size(split(textCol, " ")) - w),
+          i => array_join(slice(split(textCol, " "), i + 1, lit(w)), " "))))
+
+  /** Exact n-gram Jaccard pairs via shingle inverted index:
+    * explode(shingle) → self-join on shingle → per-pair intersection count
+    * → jaccard. Exact (oracle-checkable) but O(sum of bucket²); the scale
+    * path is [[minhashLshPairs]].
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 3, minJaccard: Double = 0.5,
+                        maxDf: Option[Int] = None): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+        shingleCol(col(textCol), w).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val inv0 = docs.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+    val inv = maxDf match {
+      case Some(cap) =>
+        // Drop ultra-frequent shingles (stopword-like skew) before the join.
+        val dfreq = inv0.groupBy("shingle").count().where(col("count") <= cap)
+          .select(col("shingle"))
+        inv0.join(dfreq, Seq("shingle"))
+      case None => inv0
+    }
+    val a = inv.toDF("ia", "na", "shingle")
+    val b = inv.toDF("ib", "nb", "shingle")
+    a.join(b, Seq("shingle"))
+      .where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("ia"), col("ib"), col("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup pairs: signature (narrow map) → band keys →
+    * bucket groupBy-join → candidate pairs → exact-jaccard verification of
+    * candidates only. With numHashes=128, rowsPerBand=2 (64 bands), a pair
+    * at jaccard 0.5 is missed with probability (1-0.25)^64 ≈ 1e-8, so at
+    * verification threshold ≥0.5 the output matches the exact variant.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 2,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+    val sigs = docs.map { case (id, text) =>
+      val sh = Signatures.shingles(text, w)
+      val keys = Signatures.bandKeys(Signatures.minhash(sh, numHashes), rowsPerBand)
+      (id, sh, keys)
+    }.toDF("id", "sh", "bandKeys")
+
+    val buckets = sigs.select(col("id"),
+      posexplode(col("bandKeys")).as(Seq("band", "key")))
+    val cand = buckets.toDF("ia", "band", "key")
+      .join(buckets.toDF("ib", "band", "key"), Seq("band", "key"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+      .distinct()
+
+    // Verify candidates exactly with array_intersect on the shingle sets.
+    val shA = sigs.select(col("id").as("ia"), col("sh").as("sha"))
+    val shB = sigs.select(col("id").as("ib"), col("sh").as("shb"))
+    cand.join(shA, Seq("ia")).join(shB, Seq("ib"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"), 4))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("ia"), col("ib"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature (narrow), pigeonhole-block
+    * LSH (hamming ≤ nBlocks-1 ⇒ some block equal), verify with bit_count.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBlocks = maxHamming + 1
+    val hashes = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, Signatures.simhash(text)) }
+      .toDF("id", "simhash")
+    val blocks = hashes.as[(Long, Long)].flatMap { case (id, h) =>
+      Signatures.simhashBlocks(h, nBlocks).map { case (b, v) => (id, h, b, v) }
+    }.toDF("id", "simhash", "block", "value")
+    blocks.toDF("ia", "ha", "block", "value")
+      .join(blocks.toDF("ib", "hb", "block", "value"), Seq("block", "value"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Per-doc simhash signatures (inspectable output / rows-only check). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, Signatures.simhash(text)) }
+      .toDF("id", "simhash")
+      .withColumn("simhash_hex", hex(col("simhash")))
+  }
+
+  /** Embedding near-dup pairs by cosine similarity.
+    * Brute-force variant (exact, oracle-checkable): normalized dot via
+    * codegen'd zip_with/aggregate over a self-join. Scale path:
+    * [[Ann.cosineLshPairs]].
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           minCosine: Double): DataFrame = {
+    val v = Ann.normalized(df, idCol, vecCol)
+    val a = v.toDF("ia", "va")
+    val b = v.toDF("ib", "vb")
+    a.crossJoin(b)
+      .where(col("ia") < col("ib"))
+      .withColumn("cosine", round(Ann.dot(col("va"), col("vb")), 4))
+      .where(col("cosine") >= minCosine)
+      .select(col("ia"), col("ib"), col("cosine"))
+  }
+}

@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, Dedup, Multimodal, Signatures, TextAnalysis}
+import graft.synth.Rng
+
+/** Training-data ops: dedup family, ANN, text analysis, multimodal
+  * plumbing — exact assertions on planted fixtures.
+  */
+class OpsSpec extends SparkSpec {
+
+  /** Deterministic corpus with planted near-duplicates: docs 0..49 random,
+    * docs 100+i = doc i with one word in ~10 changed (high jaccard), docs
+    * 200+i = doc i exactly (jaccard 1.0), for i < 10.
+    */
+  private lazy val corpus: DataFrame = {
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia", "kilo", "lima", "mike", "nov",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    def doc(i: Long): String =
+      (0 until 60).map(j => vocab(Rng.nextInt(5L, i, j.toLong, vocab.size)))
+        .mkString(" ")
+    def mutate(s: String, seed: Long): String = {
+      val w = s.split(' ')
+      (0 until w.length).map { j =>
+        if (j % 10 == 3) vocab(Rng.nextInt(seed, j.toLong, 0, vocab.size)) else w(j)
+      }.mkString(" ")
+    }
+    val rows = (0L until 50L).map(i => (i, doc(i))) ++
+      (0L until 10L).map(i => (100L + i, mutate(doc(i), 77L + i))) ++
+      (0L until 10L).map(i => (200L + i, doc(i)))
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(corpus, "doc_id", "text").collect()
+    assert(out.length == 60) // 70 docs, 10 exact copies collapse
+    val copies = out.filter(_.getLong(1) == 2)
+    assert(copies.length == 10)
+    assert(copies.forall(_.getLong(0) < 10)) // keep_id is the min id
+  }
+
+  test("ngram jaccard finds planted near-dups and exact dups") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        w = 3, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // All exact copies at jaccard 1.0:
+    (0L until 10L).foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == 200L + i && p._3 == 1.0),
+        s"missing exact pair ($i, ${200 + i})")
+    }
+    // All mutated copies present with 0.4 <= j < 1.0:
+    (0L until 10L).foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == 100L + i && p._3 < 1.0),
+        s"missing near pair ($i, ${100 + i})")
+    }
+  }
+
+  test("minhash LSH output equals exact ngram jaccard at threshold 0.4") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      w = 3, minJaccard = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      w = 3, minJaccard = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: exact dups collide; hamming-LSH pairs catch planted dups") {
+    val h0 = Signatures.simhash("alpha bravo charlie delta")
+    assert(Signatures.simhash("alpha bravo charlie delta") == h0)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { i =>
+      assert(pairs.contains((i, 200L + i)), s"exact pair ($i,${200 + i}) missed")
+    }
+    // hamming of identical docs is 0:
+    val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach(i => assert(sigs(i) == sigs(200L + i)))
+  }
+
+  test("embedding cosine: planted duplicate vector found; LSH recall >= brute at high threshold") {
+    val spark0 = spark
+    import spark0.implicits._
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(16)(d => (Rng.nextDouble(3L, i, d.toLong) * 2 - 1).toFloat)
+    val rows = (0L until 40L).map(i => (i, vec(i))) ++
+      Seq((100L, vec(0)), (101L, vec(1).map(x => x * 1.001f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((0L, 100L)))
+    assert(brute.contains((1L, 101L)))
+    val lsh = Ann.cosineLshPairs(emb, "vec_id", "embedding", 0.99,
+      nBits = 8, nTables = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute) // identical/near-identical vectors share every bucket
+  }
+
+  test("ANN: brute-force top-k exact; LSH top-k has decent recall and is a subset ranking") {
+    val spark0 = spark
+    import spark0.implicits._
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(16)(d => (Rng.nextDouble(9L, i, d.toLong) * 2 - 1).toFloat)
+    // Plant 10 true neighbors: query vector + small deterministic noise.
+    // (On structureless uniform vectors LSH recall is near-random by
+    // design — the operator's contract is recall on *actual* neighbors.)
+    val q = vec(0)
+    def near(i: Long): Array[Float] =
+      q.zipWithIndex.map { case (x, d) =>
+        x + 0.08f * (Rng.nextDouble(13L, i, d.toLong) * 2 - 1).toFloat
+      }
+    val emb = ((0L until 190L).map(i => (i, vec(i))) ++
+      (300L until 310L).map(i => (i, near(i)))).toDF("vec_id", "embedding")
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0))
+    assert(brute.length == 10)
+    assert(brute.count(_ >= 300L) == 10, "planted neighbors must top brute force")
+    val lsh = Ann.lshTopK(emb, "vec_id", "embedding", 0L, 10, nBits = 6)
+      .collect().map(_.getLong(0))
+    val recall = lsh.count(brute.contains).toDouble / 10.0
+    assert(recall >= 0.8, s"LSH recall@10 on planted neighbors too low: $recall")
+  }
+
+  test("language-ID recovers planted languages") {
+    assert(TextAnalysis.detectLanguage("der hund und die katze ist nicht hier")._1 == "de")
+    assert(TextAnalysis.detectLanguage("the cat and the dog is not here")._1 == "en")
+    assert(TextAnalysis.detectLanguage("le chat et le chien est avec moi")._1 == "fr")
+    assert(TextAnalysis.detectLanguage("el gato y el perro es un amigo")._1 == "es")
+    assert(TextAnalysis.detectLanguage("")._1 == "und")
+    assert(TextAnalysis.detectLanguage("zzz qqq xxx")._1 == "und")
+  }
+
+  test("winnowing sketch is stable under distant edits, changes locally") {
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val s1 = TextAnalysis.winnow(base).toSet
+    val s2 = TextAnalysis.winnow(base + " tail change only").toSet
+    val overlap = (s1 intersect s2).size.toDouble / (s1 union s2).size
+    assert(overlap > 0.6, s"winnow overlap too low: $overlap")
+    assert(TextAnalysis.winnow(base).toSeq == TextAnalysis.winnow(base).toSeq)
+    assert(TextAnalysis.winnow("").isEmpty)
+    assert(TextAnalysis.winnow("ab").nonEmpty)
+  }
+
+  test("multimodal: feature extraction, resize, frame sampling plumbing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Multimodal.synthesize(spark, 4242L, 120L)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 120)
+    assert(feats.forall(_.feature.length == 16))
+    // deterministic across partition counts
+    val feats2 = Multimodal.extractFeatures(
+      Multimodal.synthesize(spark, 4242L, 120L, partitions = 3)).collect()
+    assert(feats.sortBy(_.media_id).zip(feats2.sortBy(_.media_id))
+      .forall { case (a, b) => a.feature.sameElements(b.feature) })
+
+    val resized = Multimodal.resize(media, 128).collect()
+    assert(resized.filter(r => r.kind != "audio")
+      .forall(r => math.max(r.width, r.height) <= 128))
+
+    val frames = Multimodal.sampleFrames(media, stride = 4).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_bytes.length == 16))
+    val nVideos = media.filter(_.kind == "video").count()
+    assert(frames.map(_.media_id).distinct.length.toLong == nVideos)
+  }
+
+  test("quality scores are sane and deterministic") {
+    val out = TextAnalysis.qualityScores(corpus, "doc_id", "text").collect()
+    assert(out.length == 70)
+    out.foreach { r =>
+      val q = r.getDouble(7)
+      assert(q >= 0.0 && q <= 1.0, s"score out of range: $q")
+    }
+  }
+}
