@@ -1,24 +1,126 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness (driver contract + BASELINE.md scaling evidence).
+  *
+  * Headline metric: triples/sec for the end-to-end KG build (read pages
+  * table → extract → link → triples → canonicalize → materialize), per
+  * BASELINE.json. Scaling evidence: the same build at local[N_LO] and
+  * local[N_HI] on the same input table; efficiency =
+  * (throughput_hi / throughput_lo) / (N_HI / N_LO), target ≥ 0.8
+  * (sandbox stand-in for N vs 4N executors — no real cluster here).
+  *
+  * Also times the SparkEntry headline queries at N_HI on
+  * SPARK_GRAFT_SF_DIR. Prints exactly ONE JSON line.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // Fine-grained read splits: wave-granularity dominates scaling at
+      // this size (33 coarse tasks = 2 ragged waves at 32 threads vs 4
+      // tidy waves at 8). ~8 MB splits ≈ 150 tasks ≈ ≥4 waves everywhere.
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Timed KG builds at a given parallelism (pages table pre-built):
+    * one warmup + `reps` measured runs, min taken — the JVM occasionally
+    * hits a deopt storm after session churn (uniform ~10x task slowdown,
+    * no GC/JIT signal); min-of-reps measures the plan, not the storm.
+    */
+  private def timedBuild(cpus: Int, pagesWork: String, nPages: Long,
+                         runTag: String, reps: Int = 3): (Double, Long) = {
+    val spark = session(cpus)
+    try {
+      // Warmup: small build to JIT the hot paths before timing.
+      Pipeline.build(spark, PipelineConfig(seed = 1L, nPages = 2000L,
+        partitions = cpus, outputBuckets = 8,
+        workDir = Files.createTempDirectory("graft-warm").toString,
+        runId = "warm"))
+      val runs = (1 to reps).map { rep =>
+        val outDir = Files.createTempDirectory(s"graft-bench-$runTag-$rep").toString
+        // outputBuckets fixed across parallelism levels: both levels must
+        // run the identical job for the scaling ratio to mean anything.
+        val cfg = PipelineConfig(seed = 42L, nPages = nPages,
+          partitions = math.max(cpus * 2, 16), outputBuckets = 32,
+          workDir = outDir, runId = s"bench-$runTag-$rep")
+        // Share the pre-built pages table: symlink it into the work dir.
+        Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$outDir/pages"),
+          java.nio.file.Paths.get(pagesWork))
+        val t0 = System.nanoTime()
+        val triples = Pipeline.build(spark, cfg)
+        ((System.nanoTime() - t0) / 1e9, triples)
+      }
+      runs.minBy(_._1)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpusLo = math.max(1, cpusHi / 4)
+    // Pages sized so parallel compute dominates the fixed per-job cost —
+    // Common-Crawl-realistic page sizes (~30 sentences ≈ 5-25 KB html).
+    val nPages = sys.env.get("SPARK_GRAFT_BENCH_PAGES").map(_.toLong)
+      .getOrElse(if (sfDir.contains("sf0.001")) 2000L
+        else if (sfDir.contains("sf0.01")) 20000L
+        else 200000L)
+
+    // Build the input pages table once (data generation, not timed).
+    val prep = session(cpusHi)
+    val pagesWork = try {
+      val dir = Files.createTempDirectory("graft-pages").toString
+      Pipeline.buildPagesTable(prep, PipelineConfig(seed = 42L,
+        nPages = nPages, partitions = cpusHi * 2,
+        outputBuckets = 128, workDir = dir,
+        sentMin = 24, sentSpread = 16))
+    } finally prep.stop()
+
+    // Scaling: same input, quarter vs full parallelism.
+    val (secLo, _) = timedBuild(cpusLo, pagesWork, nPages, "lo")
+    val (secHi, triples) = timedBuild(cpusHi, pagesWork, nPages, "hi")
+    val thrLo = triples / secLo
+    val thrHi = triples / secHi
+    val efficiency = (thrHi / thrLo) / (cpusHi.toDouble / cpusLo)
+
+    // Headline per-query timings at full parallelism on the driver tables.
+    val spark = session(cpusHi)
+    val headline = Seq(
+      "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_window_topk",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+      "ann_brute_topk", "text_quality", "text_fingerprint",
+      "kg_triples", "kg_edges")
+    val queries = SparkEntry.queries
+    val qTimes = headline.flatMap { name =>
+      queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = qTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"kg_triples_per_sec","value":${f(thrHi)},"unit":"triples/sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","pages":$nPages,"triples":$triples,""" +
+        s""""kg_build_sec":${f(secHi)},""" +
+        s""""scaling":{"cpus_lo":$cpusLo,"sec_lo":${f(secLo)},"throughput_lo":${f(thrLo)},""" +
+        s""""cpus_hi":$cpusHi,"sec_hi":${f(secHi)},"throughput_hi":${f(thrHi)},""" +
+        s""""efficiency":${f(efficiency)}}}""")
   }
 }

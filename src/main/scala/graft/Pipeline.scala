@@ -31,7 +31,9 @@ final case class PipelineConfig(
     outputBuckets: Int = 32,
     workDir: String = "/tmp/graft-pipeline",
     runId: String = "run-1",
-    failAfterGroups: Int = -1
+    failAfterGroups: Int = -1,
+    sentMin: Int = 3,
+    sentSpread: Int = 5
 )
 
 final case class PipelineStats(
@@ -51,7 +53,8 @@ object Pipeline {
   def buildPagesTable(spark: SparkSession, cfg: PipelineConfig): String = {
     val table = s"${cfg.workDir}/pages"
     if (!IcebergishTable.exists(table)) {
-      val pages = PageSynth.pages(spark, cfg.seed, cfg.nPages, cfg.partitions)
+      val pages = PageSynth.pages(spark, cfg.seed, cfg.nPages, cfg.partitions,
+        cfg.sentMin, cfg.sentSpread)
       IcebergishTable.write(pages.toDF, table, "url", cfg.outputBuckets)
     }
     table
@@ -62,12 +65,60 @@ object Pipeline {
     */
   def readPagesForExtraction(spark: SparkSession, table: String): Dataset[Page] = {
     import spark.implicits._
+    // html_extract is a native codegen'd Expression: scan → project →
+    // extract fuse into one WholeStageCodegen span (no UDF, no ser/deser).
     IcebergishTable.read(spark, table)
-      .select(col("url"), col("warc_ts"), col("html"), col("lang"))
-      .as[(String, java.sql.Timestamp, Array[Byte], String)]
-      .map { case (url, ts, html, lang) =>
-        Page(url, ts, html, HtmlText.extract(html), lang)
-      }
+      .select(col("url"), col("warc_ts"), col("html"),
+        graft.functions.HtmlExtractExpr.html_extract(col("html")).as("text"),
+        col("lang"))
+      .as[Page]
+  }
+
+  /** Lean bench path: identical stages to [[run]] but no per-stage counts —
+    * the only actions are the localCheckpoints and the checkpointed writes.
+    * Returns the number of edge rows written (from the checkpoint layer's
+    * lineage, i.e. free).
+    */
+  private def timed[T](name: String)(f: => T): T = {
+    if (sys.env.contains("GRAFT_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[timing] $name%-22s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    } else f
+  }
+
+  def build(spark: SparkSession, cfg: PipelineConfig): Long = {
+    import spark.implicits._
+    val table = buildPagesTable(spark, cfg)
+    val pages = readPagesForExtraction(spark, table)
+    val aliasDict = PageSynth.aliasDictionary
+    val phrases = PageSynth.relations.toMap
+
+    // One fused narrow pass: extraction (codegen'd html_extract), trie
+    // scan, map-side linking, local candidate resolution → raw triples.
+    // No shuffle until the post-canonicalization dedup.
+    val rawTriples = TripleExtract.extractDirect(pages, aliasDict, phrases)
+    val canon = timed("cc") {
+      ConnectedComponents.components(PageSynth.sameAs(spark).toDF("src", "dst"))
+    }
+    val triples = timed("scan+triples+canon") {
+      TripleExtract.canonicalize(rawTriples, canon).localCheckpoint()
+    }
+
+    val ckpt = s"${cfg.workDir}/checkpoint"
+    val edgeStats = timed("write edges") {
+      GraphOut.writeWithCheckpoint(
+        triples.toDF, s"${cfg.workDir}/edges", "subj", cfg.outputBuckets,
+        ckpt, cfg.runId, "edges", groupSize = cfg.outputBuckets)
+    }
+    timed("write vertices") {
+      GraphOut.writeWithCheckpoint(
+        GraphOut.vertices(triples.toDF), s"${cfg.workDir}/vertices", "id",
+        cfg.outputBuckets, ckpt, cfg.runId, "vertices",
+        groupSize = cfg.outputBuckets)
+    }
+    edgeStats.rowsWritten
   }
 
   /** Run the full pipeline; returns stage row counts. */
@@ -80,9 +131,10 @@ object Pipeline {
     val aliases = PageSynth.aliases(spark)
     val phrases = PageSynth.relations.toMap
 
-    val mentions = Mentions.scan(pages, aliasDict)
+    val scanned = Mentions.scanPages(pages, aliasDict, phrases).localCheckpoint()
+    val mentions = scanned.flatMap(_.mentions)
+    val cands = scanned.flatMap(_.cands)
     val linked = Mentions.link(mentions, aliases).localCheckpoint()
-    val cands = TripleExtract.candidates(pages, aliasDict.map(_.alias).distinct, phrases)
     val rawTriples = TripleExtract.triples(cands, linked)
 
     val sameAs = PageSynth.sameAs(spark).toDF("src", "dst")

@@ -130,6 +130,70 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))),
 
+    "q_anti_join" -> ((s, dir) => {
+      // F2 analog: partition-level anti-semantics → left_anti join
+      // (reference excludes duplicate `_to_c` shards, sharding.rs:326-341).
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders").select(col("o_custkey"))
+      cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders").select(col("o_custkey"))
+      cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_customers_with_orders"))
+    }),
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k") >= 50)),
+    "kg_catalog" -> ((s, _) =>
+      // S3/A1/A2: catalog walk — explode edge definitions, distinct, sort.
+      ops.GraphCatalog.vertexCollections(ops.GraphCatalog.fixtureDefinitions(s))),
+    "dedup_minhash_sketch" -> ((s, dir) => {
+      // Custom Aggregator: per-source corpus minhash sketch (element-wise
+      // min is the exact sketch of the shingle-set union), then pairwise
+      // similarity estimates between sources.
+      import s.implicits._
+      val sigs = t(s, dir, "documents")
+        .select(col("source"), col("text"))
+        .as[(String, String)]
+        .map { case (src, text) =>
+          (src, ops.Signatures.minhash(ops.Signatures.shingles(text, 3), 128))
+        }
+        .toDF("source", "sig")
+      val sketches = sigs.groupBy(col("source"))
+        .agg(ops.MinHashAgg.column(col("sig")).as("sketch"))
+        .as[(String, Array[Long])]
+      val pairs = sketches.collect()
+      val rows = for {
+        (sa, ka) <- pairs; (sb, kb) <- pairs if sa < sb
+      } yield (sa, sb,
+        math.rint(ops.MinHashAgg.estimateJaccard(ka, kb) * 1e4) / 1e4)
+      s.createDataset(rows.toSeq).toDF("src_a", "src_b", "est_jaccard")
+        .orderBy(col("est_jaccard").desc, col("src_a"), col("src_b"))
+    }),
+    "q_join_salted" -> ((s, dir) => {
+      // Same semantics as a plain join — explicit salting for skewed keys
+      // (north_rule hub-entity case); oracle proves result equivalence.
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      ops.SaltedJoin.inner(li, orders, "l_orderkey", salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+    "q_stream_window" -> ((s, dir) =>
+      // True Structured Streaming run: file-source readStream + watermark
+      // + windowed agg + memory sink; equals the batch SQL oracle.
+      streaming.EventStream.hourlyCountsStreaming(s, s"$dir/events.parquet")),
+    "q_stream_sessions" -> ((s, dir) =>
+      streaming.EventStream.sessionWindows(t(s, dir, "events"))),
+
     // ---- training-data ops over documents/embeddings ---------------------
     "dedup_minhash_lsh" -> ((s, dir) =>
       // MinHash → banded LSH → candidate pairs → exact-jaccard verify.
@@ -231,6 +295,43 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY text"),
+    "q_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "q_semi_join" ->
+      ("SELECT count(*) AS n_customers_with_orders FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "q_json_extract" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50"),
+    "kg_catalog" ->
+      ("WITH defs(collection, f, t) AS (VALUES " +
+        "('acquired', ['companies'], ['companies']), " +
+        "('founded_by', ['companies'], ['people', 'companies']), " +
+        "('located_in', ['companies', 'people'], ['places']), " +
+        "('partner_of', ['companies'], ['companies'])) " +
+        "SELECT DISTINCT vertex_collection FROM (" +
+        "SELECT unnest(f) AS vertex_collection FROM defs " +
+        "UNION ALL SELECT unnest(t) FROM defs) ORDER BY vertex_collection"),
+    "q_join_salted" ->
+      ("SELECT o_orderpriority, count(*) AS n_lines, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority"),
+    "q_stream_window" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+        "count(*) AS n_events, round(sum(value), 2) AS total_value " +
+        "FROM events GROUP BY 1, 2"),
+    "q_stream_sessions" ->
+      ("WITH o AS (SELECT user_id, ts, value, CASE WHEN " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 6 HOUR " +
+        "THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s AS (SELECT user_id, ts, value, " +
+        "sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid " +
+        "FROM o) " +
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, " +
+        "round(sum(value), 2) AS total_value FROM s GROUP BY user_id, sid"),
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embed_cosine" ->

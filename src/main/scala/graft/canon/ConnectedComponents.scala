@@ -60,11 +60,46 @@ object ConnectedComponents {
     (row.getLong(0), row.getLong(1))
   }
 
-  /** Compute components of the graph given by an edge DataFrame with two
-    * string columns `src`, `dst`. Returns (id, component) covering every id
-    * that appears in the edge list; component = min id in the component.
+  /** Strategy selection (the reference picks Dump vs AQL per deployment,
+    * /root/reference/src/graph_loader.rs:209-251; we pick local vs
+    * distributed per graph size): dictionary-sized edge lists are solved
+    * with driver-side union-find in one job instead of ~3 shuffle rounds ×
+    * 2 jobs — at KG scale the sameAs graph is dictionary-derived and tiny,
+    * while the distributed star algorithm stays available for huge graphs.
     */
-  def components(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 50,
+                 localThreshold: Long = 500000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    if (e.count() <= localThreshold) componentsLocal(e)
+    else componentsDistributed(e, maxIter)
+  }
+
+  /** Driver-side union-find for small graphs (single collect). */
+  private[canon] def componentsLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.as[(String, String)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    // Iterative find with path compression (no recursion — adversarial
+    // union orders can build deep chains near the size threshold).
+    def find(x: String): String = {
+      var root = x
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = parent.keys.toSeq.map(k => (k, find(k)))
+    spark.createDataset(out).toDF("id", "component")
+  }
+
+  /** Distributed large-star/small-star; correct at any scale. */
+  def componentsDistributed(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     var e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()

@@ -66,6 +66,32 @@ object Mentions {
     out.toSeq
   }
 
+  /** Fused single-pass scan output: one row per page carrying both the
+    * mention spans and the relation candidates, so the (expensive) HTML
+    * extraction + trie walk happens exactly once per page — the analog of
+    * the reference decoding each batch once and fanning results out
+    * (/root/reference/src/graph_loader.rs:420-472).
+    */
+  final case class PageScan(url: String,
+                            mentions: Seq[Mention],
+                            cands: Seq[graft.triples.RelCandidate])
+
+  /** Single narrow pass over pages: mentions + relation candidates. */
+  def scanPages(pages: Dataset[Page], aliases: Seq[Alias],
+                phrases: Map[String, String]): Dataset[PageScan] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val trieB = spark.sparkContext.broadcast(
+      AliasTrie.build(aliases.map(_.alias).distinct))
+    val phrasesB = spark.sparkContext.broadcast(phrases)
+    pages.map { p =>
+      val ms = scanText(p.url, p.text, trieB.value)
+      val cs = graft.triples.TripleExtract
+        .candidatesFromMentions(p.url, p.text, ms, phrasesB.value)
+      PageScan(p.url, ms, cs)
+    }
+  }
+
   /** Distributed mention scan: narrow map-side flatMap over pages. */
   def scan(pages: Dataset[Page], aliases: Seq[Alias]): Dataset[Mention] = {
     val spark = pages.sparkSession
@@ -74,6 +100,28 @@ object Mentions {
       AliasTrie.build(aliases.map(_.alias).distinct))
     pages.flatMap(p => scanText(p.url, p.text, trieB.value))
   }
+
+  /** Pre-reduced link winners: the tie-break (score desc, entity asc) is
+    * context-free, so the winner per alias can be computed once driver-side
+    * and broadcast — turning the link step into a map-side lookup with no
+    * shuffle at all. [[link]] below is the general operator (broadcast hash
+    * join + window) for when scoring needs row context; the pipeline's hot
+    * path uses this.
+    */
+  def aliasWinners(aliases: Seq[Alias]): Map[String, (String, Double)] =
+    aliases.groupBy(_.alias).map { case (a, as) =>
+      val best = as.minBy(x => (-x.score, x.entity))
+      a -> (best.entity, best.score)
+    }
+
+  /** Local (per-row) linking against pre-reduced winners. */
+  def linkLocal(ms: Seq[Mention],
+                winners: Map[String, (String, Double)]): Seq[LinkedMention] =
+    ms.flatMap { m =>
+      winners.get(m.mention).map { case (entity, score) =>
+        LinkedMention(m.url, m.mention, m.begin, m.end, entity, score)
+      }
+    }
 
   /** Entity linking: broadcast hash join + window tie-break. */
   def link(mentions: Dataset[Mention],

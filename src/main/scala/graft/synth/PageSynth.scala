@@ -130,12 +130,12 @@ object PageSynth {
 
   private val langs = Vector("en", "en", "en", "de", "fr", "es")
 
-  def page(seed: Long, i: Long): SynthPage = {
+  def page(seed: Long, i: Long, sentMin: Int = 3, sentSpread: Int = 5): SynthPage = {
     val url = s"https://site${Rng.nextInt(seed, i, 1, 50)}.example/p/$i"
     val ts = new Timestamp(1600000000000L + (Rng.at(seed, i, 2) >>> 24))
     val lang = langs(Rng.nextInt(seed, i, 3, langs.size))
 
-    val nSentences = 3 + Rng.nextInt(seed, i, 4, 5)
+    val nSentences = sentMin + Rng.nextInt(seed, i, 4, sentSpread)
     val blocks = scala.collection.mutable.ArrayBuffer.empty[Vector[Seg]]
 
     // Title block.
@@ -148,7 +148,7 @@ object PageSynth {
     val triples = scala.collection.mutable.ArrayBuffer.empty[Triple]
     var s = 0
     while (s < nSentences) {
-      val base = 100L + s * 10L
+      val base = 100L + s * 50L
       if (Rng.nextDouble(seed, i, base) < 0.45) {
         // Fact sentence: aliasA phrase aliasB .
         val ea = Rng.nextZipf(seed, i, base + 1, NumEntities)
@@ -231,14 +231,14 @@ object PageSynth {
     while (b < blocks.length) {
       val tag =
         if (b == 0) "title"
-        else Vector("p", "p", "div", "h2")(Rng.nextInt(seed, i, 1000L + b, 4))
-      val attrs = Rng.nextInt(seed, i, 1100L + b, 3) match {
+        else Vector("p", "p", "div", "h2")(Rng.nextInt(seed, i, 10000L + b, 4))
+      val attrs = Rng.nextInt(seed, i, 20000L + b, 3) match {
         case 0 => ""
-        case 1 => " class=\"c" + Rng.nextInt(seed, i, 1200L + b, 9) + "\""
+        case 1 => " class=\"c" + Rng.nextInt(seed, i, 30000L + b, 9) + "\""
         case _ => " id=\"b" + b + "\""
       }
       sb.append('<').append(tag).append(attrs).append('>')
-      if (Rng.nextDouble(seed, i, 1300L + b) < 0.4) sb.append("\n  ")
+      if (Rng.nextDouble(seed, i, 40000L + b) < 0.4) sb.append("\n  ")
       // Render segments word-by-word with noise.
       val words = scala.collection.mutable.ArrayBuffer.empty[String]
       blocks(b).foreach {
@@ -249,7 +249,7 @@ object PageSynth {
       while (w < words.length) {
         if (w > 0) {
           // separator: plain space / nbsp / newline+indent — all collapse.
-          Rng.nextInt(seed, i, 2000L + b * 64L + w, 10) match {
+          Rng.nextInt(seed, i, 100000L + b * 128L + w, 10) match {
             case 0 => sb.append("&nbsp;")
             case 1 => sb.append("\n   ")
             case 2 => sb.append("  ")
@@ -257,7 +257,7 @@ object PageSynth {
           }
         }
         val word = words(w)
-        Rng.nextInt(seed, i, 3000L + b * 64L + w, 20) match {
+        Rng.nextInt(seed, i, 200000L + b * 128L + w, 20) match {
           case 0 => sb.append("<b>").append(word).append("</b>")
           case 1 => sb.append("<i>").append(word).append("</i>")
           case 2 => sb.append("<a href=\"#l").append(w).append("\">")
@@ -270,14 +270,14 @@ object PageSynth {
         }
         w += 1
       }
-      if (Rng.nextDouble(seed, i, 1400L + b) < 0.3) sb.append(" \n")
+      if (Rng.nextDouble(seed, i, 50000L + b) < 0.3) sb.append(" \n")
       sb.append("</").append(tag).append('>')
       if (b == 0) {
         // head → body transition plus optional script/style noise.
         if (Rng.nextDouble(seed, i, 40L) < 0.5)
           sb.append("<script>var x = 1; if (x < 2) { x = 3; }</script>")
         sb.append("</head><body>")
-      } else if (Rng.nextDouble(seed, i, 1500L + b) < 0.15) {
+      } else if (Rng.nextDouble(seed, i, 60000L + b) < 0.15) {
         sb.append("<style>p { color: #333; }</style>")
       }
       b += 1
@@ -292,28 +292,34 @@ object PageSynth {
     * parallelism because each row is a pure function of (seed, id).
     */
   def synthesize(spark: SparkSession, seed: Long, n: Long,
-                 partitions: Int = 32): Dataset[SynthPage] = {
+                 partitions: Int = 32, sentMin: Int = 3,
+                 sentSpread: Int = 5): Dataset[SynthPage] = {
     import spark.implicits._
-    spark.range(0L, n, 1L, partitions).map(i => page(seed, i))
+    spark.range(0L, n, 1L, partitions).map(i => page(seed, i, sentMin, sentSpread))
   }
 
   def pages(spark: SparkSession, seed: Long, n: Long,
-            partitions: Int = 32): Dataset[Page] = {
+            partitions: Int = 32, sentMin: Int = 3,
+            sentSpread: Int = 5): Dataset[Page] = {
     import spark.implicits._
-    synthesize(spark, seed, n, partitions)
+    synthesize(spark, seed, n, partitions, sentMin, sentSpread)
       .map(p => Page(p.url, p.warc_ts, p.html, p.text, p.lang))
   }
 
   def goldenMentions(spark: SparkSession, seed: Long, n: Long,
-                     partitions: Int = 32): Dataset[GoldenMention] = {
+                     partitions: Int = 32, sentMin: Int = 3,
+                     sentSpread: Int = 5): Dataset[GoldenMention] = {
     import spark.implicits._
-    synthesize(spark, seed, n, partitions).flatMap(_.goldenMentions)
+    synthesize(spark, seed, n, partitions, sentMin, sentSpread)
+      .flatMap(_.goldenMentions)
   }
 
   def goldenTriples(spark: SparkSession, seed: Long, n: Long,
-                    partitions: Int = 32): Dataset[Triple] = {
+                    partitions: Int = 32, sentMin: Int = 3,
+                    sentSpread: Int = 5): Dataset[Triple] = {
     import spark.implicits._
-    synthesize(spark, seed, n, partitions).flatMap(_.goldenTriples)
+    synthesize(spark, seed, n, partitions, sentMin, sentSpread)
+      .flatMap(_.goldenTriples)
   }
 
   def aliases(spark: SparkSession): Dataset[Alias] = {

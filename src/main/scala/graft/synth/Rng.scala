@@ -33,21 +33,28 @@ object Rng {
     (at(seed, i, j) >>> 11).toDouble / (1L << 53).toDouble
 
   /** Zipf-ish rank draw in [0, n): rank r with weight ~ 1/(r+1).
-    * Computed by inverse-CDF over the harmonic partial sums, deterministic.
+    * Inverse-CDF via a cached cumulative table + binary search (the CDF for
+    * a given n is deterministic, so caching preserves reproducibility).
     */
   def nextZipf(seed: Long, i: Long, j: Long, n: Int): Int = {
+    val cdf = zipfCdf(n)
     val u = nextDouble(seed, i, j)
-    // H_n approximated incrementally; n is small (vocab-sized) in practice.
-    var total = 0.0
-    var r = 0
-    while (r < n) { total += 1.0 / (r + 1); r += 1 }
-    var acc = 0.0
-    r = 0
-    while (r < n) {
-      acc += 1.0 / (r + 1) / total
-      if (u < acc) return r
-      r += 1
-    }
-    n - 1
+    val idx = java.util.Arrays.binarySearch(cdf, u)
+    val r = if (idx >= 0) idx + 1 else -idx - 1
+    math.min(r, n - 1)
   }
+
+  private val zipfCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
+  private def zipfCdf(n: Int): Array[Double] =
+    zipfCache.computeIfAbsent(n, { m =>
+      val w = Array.tabulate(m)(r => 1.0 / (r + 1))
+      val total = w.sum
+      val cdf = new Array[Double](m)
+      var acc = 0.0
+      var r = 0
+      while (r < m) { acc += w(r) / total; cdf(r) = acc; r += 1 }
+      cdf
+    })
 }

@@ -31,10 +31,12 @@ final case class RelCandidate(
   */
 object TripleExtract {
 
-  /** Pure per-page candidate scan — also used by tests. */
-  def scanCandidates(url: String, text: String, trie: AliasTrie,
-                     phrases: Map[String, String]): Seq[RelCandidate] = {
-    val ms = Mentions.scanText(url, text, trie)
+  /** Candidates from already-scanned mentions (shared with the fused
+    * single-pass scan in [[graft.link.Mentions.scanPages]]).
+    */
+  def candidatesFromMentions(url: String, text: String,
+                             ms: Seq[graft.Mention],
+                             phrases: Map[String, String]): Seq[RelCandidate] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[RelCandidate]
     var i = 0
     while (i + 1 < ms.length) {
@@ -51,6 +53,11 @@ object TripleExtract {
     out.toSeq
   }
 
+  /** Pure per-page candidate scan — also used by tests. */
+  def scanCandidates(url: String, text: String, trie: AliasTrie,
+                     phrases: Map[String, String]): Seq[RelCandidate] =
+    candidatesFromMentions(url, text, Mentions.scanText(url, text, trie), phrases)
+
   /** Distributed candidate scan: narrow flatMap over pages, no shuffle. */
   def candidates(pages: Dataset[Page], aliasSurfaces: Seq[String],
                  phrases: Map[String, String]): Dataset[RelCandidate] = {
@@ -59,6 +66,33 @@ object TripleExtract {
     val trieB = spark.sparkContext.broadcast(AliasTrie.build(aliasSurfaces))
     val phrasesB = spark.sparkContext.broadcast(phrases)
     pages.flatMap(p => scanCandidates(p.url, p.text, trieB.value, phrasesB.value))
+  }
+
+  /** Fully-fused direct extraction: one narrow pass per page does mention
+    * scan, map-side linking (pre-reduced broadcast winners — see
+    * [[graft.link.Mentions.aliasWinners]]), and local candidate resolution.
+    * Zero shuffles from the page scan to raw triples; the first shuffle in
+    * the pipeline is the post-canonicalization dedup. This is the 100 TB
+    * hot path; [[triples]] below is the general join-based operator.
+    */
+  def extractDirect(pages: Dataset[Page], aliases: Seq[graft.Alias],
+                    phrases: Map[String, String]): Dataset[Triple] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val trieB = spark.sparkContext.broadcast(
+      AliasTrie.build(aliases.map(_.alias).distinct))
+    val winnersB = spark.sparkContext.broadcast(Mentions.aliasWinners(aliases))
+    val phrasesB = spark.sparkContext.broadcast(phrases)
+    pages.flatMap { p =>
+      val ms = Mentions.scanText(p.url, p.text, trieB.value)
+      val linked = Mentions.linkLocal(ms, winnersB.value)
+      val byBegin = linked.map(l => l.begin -> l).toMap
+      candidatesFromMentions(p.url, p.text, ms, phrasesB.value).flatMap { c =>
+        for (a <- byBegin.get(c.beginA); b <- byBegin.get(c.beginB))
+          yield Triple(a.entity, c.pred, b.entity, p.url,
+            math.min(a.conf, b.conf))
+      }
+    }
   }
 
   /** Resolve candidates against linked mentions → deduped triples. */

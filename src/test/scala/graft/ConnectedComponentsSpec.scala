@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.canon.ConnectedComponents
 import graft.synth.Rng
 
@@ -10,11 +12,20 @@ import graft.synth.Rng
   */
 class ConnectedComponentsSpec extends SparkSpec {
 
+  /** Runs BOTH strategies (driver union-find and distributed star rounds)
+    * and asserts they agree before returning the result — every fixture in
+    * this spec therefore covers the at-scale code path too.
+    */
   private def cc(edges: Seq[(String, String)], parts: Int = 4): Map[String, String] = {
     import spark.implicits._
     val df = edges.toDF("src", "dst").repartition(parts)
-    ConnectedComponents.components(df)
+    val local = ConnectedComponents.components(df)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = ConnectedComponents.componentsDistributed(
+        df.where(col("src") =!= col("dst")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist == local, "distributed star algorithm diverged from union-find")
+    local
   }
 
   /** Single-node union-find oracle. */

@@ -171,6 +171,32 @@ class OpsSpec extends SparkSpec {
     assert(frames.map(_.media_id).distinct.length.toLong == nVideos)
   }
 
+  test("MinHashAgg sketch equals the direct sketch of the union") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq("alpha bravo charlie delta echo fox",
+      "golf hotel india julia kilo lima",
+      "mike nov oscar papa quebec romeo")
+    val sigs = docs.map(d => Signatures.minhash(Signatures.shingles(d, 3), 64))
+    val agg = spark0.createDataset(sigs).toDF("sig")
+      .agg(ops.MinHashAgg.column(col("sig")).as("sketch"))
+      .collect().head.getSeq[Long](0).toArray
+    val unionShingles = docs.flatMap(d => Signatures.shingles(d, 3)).distinct.toArray
+    val direct = Signatures.minhash(unionShingles, 64)
+    assert(agg.sameElements(direct))
+    // merge with empty buffer is identity; estimator self-sim is 1.0:
+    assert(ops.MinHashAgg.merge(Array.empty, sigs.head).sameElements(sigs.head))
+    assert(ops.MinHashAgg.estimateJaccard(sigs.head, sigs.head) == 1.0)
+  }
+
+  test("graph catalog derives sorted distinct vertex/edge collections") {
+    val defs = ops.GraphCatalog.fixtureDefinitions(spark)
+    val v = ops.GraphCatalog.vertexCollections(defs).collect().map(_.getString(0))
+    assert(v.toSeq == Seq("companies", "people", "places"))
+    val e = ops.GraphCatalog.edgeCollections(defs).collect().map(_.getString(0))
+    assert(e.toSeq == Seq("acquired", "founded_by", "located_in", "partner_of"))
+  }
+
   test("quality scores are sane and deterministic") {
     val out = TextAnalysis.qualityScores(corpus, "doc_id", "text").collect()
     assert(out.length == 70)

@@ -95,6 +95,21 @@ class PipelineSpec extends SparkSpec {
     assert(ckpt.forall(r => r.status == "done" && r.wall_ms >= 0))
   }
 
+  test("fused build() path emits exactly the same edge table as run()") {
+    import spark.implicits._
+    def edges(workDir: String): Set[(String, String, String, String)] =
+      IcebergishTable.read(spark, s"$workDir/edges")
+        .select("subj", "pred", "obj", "url")
+        .as[(String, String, String, String)].collect().toSet
+    val d1 = tmpDir("graft-run")
+    Pipeline.run(spark, PipelineConfig(seed = 5L, nPages = 250L,
+      partitions = 4, outputBuckets = 8, workDir = d1, runId = "a"))
+    val d2 = tmpDir("graft-build")
+    Pipeline.build(spark, PipelineConfig(seed = 5L, nPages = 250L,
+      partitions = 4, outputBuckets = 8, workDir = d2, runId = "b"))
+    assert(edges(d1) == edges(d2))
+  }
+
   test("pipeline is deterministic across runs and parallelism") {
     import spark.implicits._
     def runOnce(parts: Int): Set[(String, String, String, String)] = {

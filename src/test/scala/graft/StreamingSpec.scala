@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+/** Structured Streaming: custom state machine across micro-batches and
+  * stream/batch equivalence of the windowed aggregation.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Long): Timestamp = new Timestamp(minute * 60000L)
+
+  test("flatMapGroupsWithState sessionization emits closed sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(input.toDS(), gapMs = 10 * 60000L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_test").outputMode("append").start()
+    try {
+      // Batch 1: two events 5 min apart (same session), one other user.
+      input.addData(
+        Event(1, ts(0), 100L, "click", 1.0),
+        Event(2, ts(5), 100L, "click", 2.0),
+        Event(3, ts(0), 200L, "view", 5.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_test").count() == 0) // nothing closed yet
+
+      // Batch 2: user 100 returns after 30 min → session 1 closes.
+      input.addData(Event(4, ts(35), 100L, "click", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_test").as[Session].collect()
+      assert(closed.toSeq == Seq(Session(100L, ts(0), 2, 3.0)))
+
+      // Batch 3: user 200 returns late → its first session closes too.
+      input.addData(Event(5, ts(60), 200L, "view", 1.5))
+      q.processAllAvailable()
+      val all = spark.table("sessions_test").as[Session].collect().toSet
+      assert(all == Set(Session(100L, ts(0), 2, 3.0), Session(200L, ts(0), 1, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming hourly window aggregation equals batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.hourlyCountsStreaming(spark, s"$dir/events.parquet")
+      .collect().map(_.toSeq).toSet
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session_window batch operator groups by inactivity gap") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), 1L, "a", 1.0),
+      (2L, ts(10), 1L, "a", 1.0),   // same session (10 min gap < 6h)
+      (3L, ts(60 * 10), 1L, "a", 1.0), // 10h later → new session
+      (4L, ts(0), 2L, "b", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStream.sessionWindows(events, gap = "6 hours")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(out == Set((1L, ts(0), 2L), (1L, ts(600), 1L), (2L, ts(0), 1L)))
+  }
+}
