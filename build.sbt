@@ -33,4 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cache fills after a few sessions → JIT shuts off → ~10x slowdowns.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
+  // Batch-throughput collector: the scan stage allocates GB/s across 32
+  // threads; G1's pause-target heuristics throttle it, ParallelGC doesn't.
+  "-XX:+UseParallelGC",
 )

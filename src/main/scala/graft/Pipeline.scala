@@ -36,6 +36,11 @@ final case class PipelineConfig(
     sentSpread: Int = 5
 )
 
+/** Config rejection — the reference fails init on inconsistent parameters
+  * (`verify_parameters`, /root/reference/src/graph_loader.rs:253-271).
+  */
+final class InvalidConfig(msg: String) extends IllegalArgumentException(msg)
+
 final case class PipelineStats(
     pages: Long,
     mentions: Long,
@@ -45,6 +50,19 @@ final case class PipelineStats(
 )
 
 object Pipeline {
+
+  /** Fail fast on inconsistent configuration (reference: verify_parameters
+    * rejects fields+all-attributes conflicts at init, graph_loader.rs:253).
+    */
+  def validate(cfg: PipelineConfig): Unit = {
+    def bad(m: String) = throw new InvalidConfig(m)
+    if (cfg.nPages <= 0) bad(s"nPages must be positive: ${cfg.nPages}")
+    if (cfg.partitions <= 0) bad(s"partitions must be positive: ${cfg.partitions}")
+    if (cfg.outputBuckets <= 0) bad(s"outputBuckets must be positive: ${cfg.outputBuckets}")
+    if (cfg.sentMin < 1 || cfg.sentSpread < 1)
+      bad(s"sentence grammar needs sentMin>=1, sentSpread>=1: ${cfg.sentMin}/${cfg.sentSpread}")
+    if (cfg.workDir.isEmpty || cfg.runId.isEmpty) bad("workDir and runId are required")
+  }
 
   /** Stage 0: synthesize the input table and materialize it Iceberg-style.
     * Idempotent: skipped when the table already exists with the same
@@ -89,34 +107,39 @@ object Pipeline {
   }
 
   def build(spark: SparkSession, cfg: PipelineConfig): Long = {
-    import spark.implicits._
+    validate(cfg)
     val table = buildPagesTable(spark, cfg)
     val pages = readPagesForExtraction(spark, table)
     val aliasDict = PageSynth.aliasDictionary
     val phrases = PageSynth.relations.toMap
 
-    // One fused narrow pass: extraction (codegen'd html_extract), trie
-    // scan, map-side linking, local candidate resolution → raw triples.
-    // No shuffle until the post-canonicalization dedup.
-    val rawTriples = TripleExtract.extractDirect(pages, aliasDict, phrases)
+    // Canonicalization map first (dictionary-derived sameAs graph →
+    // strategy-selected CC → driver map), folded into the broadcast link
+    // winners, so the narrow pass emits canonical triples directly.
     val canon = timed("cc") {
       ConnectedComponents.components(PageSynth.sameAs(spark).toDF("src", "dst"))
-    }
-    val triples = timed("scan+triples+canon") {
-      TripleExtract.canonicalize(rawTriples, canon).localCheckpoint()
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     }
 
+    // ONE fused narrow pass (codegen'd html_extract → char-trie scan →
+    // map-side canonical linking → local candidate resolution), then ONE
+    // shuffle: bucket-exchange with in-shuffle sort-dedup, one file per
+    // bucket, lineage from the written columnar files.
     val ckpt = s"${cfg.workDir}/checkpoint"
-    val edgeStats = timed("write edges") {
-      GraphOut.writeWithCheckpoint(
-        triples.toDF, s"${cfg.workDir}/edges", "subj", cfg.outputBuckets,
-        ckpt, cfg.runId, "edges", groupSize = cfg.outputBuckets)
+    val edgesTable = s"${cfg.workDir}/edges"
+    val rawTriples = TripleExtract.extractDirect(pages, aliasDict, phrases, canon)
+    val edgeStats = timed("scan+dedup+write edges") {
+      GraphOut.writeBucketedDedup(
+        rawTriples.toDF, edgesTable, "subj", cfg.outputBuckets,
+        Seq("subj", "pred", "obj", "url"), ckpt, cfg.runId, "edges")
     }
+
+    // Vertices derive from the written (compressed, pruned) edge table.
     timed("write vertices") {
-      GraphOut.writeWithCheckpoint(
-        GraphOut.vertices(triples.toDF), s"${cfg.workDir}/vertices", "id",
-        cfg.outputBuckets, ckpt, cfg.runId, "vertices",
-        groupSize = cfg.outputBuckets)
+      val edges = IcebergishTable.read(spark, edgesTable)
+      GraphOut.writeBucketedDedup(
+        GraphOut.vertices(edges), s"${cfg.workDir}/vertices", "id",
+        cfg.outputBuckets, Seq.empty, ckpt, cfg.runId, "vertices")
     }
     edgeStats.rowsWritten
   }
@@ -124,6 +147,7 @@ object Pipeline {
   /** Run the full pipeline; returns stage row counts. */
   def run(spark: SparkSession, cfg: PipelineConfig): PipelineStats = {
     import spark.implicits._
+    validate(cfg)
     val table = buildPagesTable(spark, cfg)
     val pages = readPagesForExtraction(spark, table)
 

@@ -130,6 +130,25 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))),
 
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .groupBy(dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("first_day"))),
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          upper(substring(col("text"), 1, 12)).as("head_upper"),
+          length(translate(col("text"), "aeiou", "")).as("n_consonant_chars"),
+          concat_ws("|", col("lang"), col("source")).as("tag"))),
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(col("lang"), col("source"), col("n_docs"), col("total_chars"))),
     "q_anti_join" -> ((s, dir) => {
       // F2 analog: partition-level anti-semantics → left_anti join
       // (reference excludes duplicate `_to_c` shards, sharding.rs:326-341).
@@ -253,7 +272,19 @@ object SparkEntry {
       ConnectedComponents.components(
         PageSynth.sameAs(s).toDF("src", "dst"))
     }),
-    "kg_edges" -> ((s, _) => entry(s))
+    "kg_edges" -> ((s, _) => entry(s)),
+    "kg_vertices" -> ((s, _) =>
+      graft.materialize.GraphOut.vertices(entry(s))),
+    "kg_checkpoint" -> ((s, _) => {
+      // Run a small checkpointed build and return its lineage table.
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-kgck").toString
+      Pipeline.build(s, PipelineConfig(seed = 42L, nPages = 200L,
+        partitions = 4, outputBuckets = 8, workDir = dir, runId = "verify"))
+      graft.materialize.Checkpoint.read(s, s"$dir/checkpoint")
+        .toDF.select(col("stage"), col("part"), col("rows_out"), col("status"))
+        .orderBy(col("stage"), col("part"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -295,6 +326,17 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY text"),
+    "q_date_funcs" ->
+      ("SELECT dayofweek(ts) + 1 AS dow, count(*) AS n_events, " +
+        "count(DISTINCT user_id) AS n_users, strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day " +
+        "FROM events GROUP BY 1"),
+    "q_string_funcs" ->
+      ("SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper, " +
+        "length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_consonant_chars, " +
+        "concat_ws('|', lang, source) AS tag FROM documents"),
+    "q_rollup" ->
+      ("SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars " +
+        "FROM documents GROUP BY ROLLUP (lang, source)"),
     "q_anti_join" ->
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),

@@ -41,12 +41,27 @@ object IcebergishTable {
     else -1
   }
 
+  /** Data files currently under the table, relative paths, sorted. */
+  private def listDataFiles(table: String): Seq[String] = {
+    val data = dir(table).resolve("data")
+    if (!Files.exists(data)) Seq.empty
+    else Files.walk(data).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => dir(table).relativize(p).toString)
+      .toSeq.sorted
+  }
+
   private def commit(table: String, snapshot: Int, schemaJson: String,
                      parts: Seq[Int], rows: Long): Unit = {
     val d = dir(table)
     Files.createDirectories(d)
+    // Snapshot manifest records the exact file list — Iceberg-style
+    // time travel: readSnapshot(n) sees precisely snapshot n's files.
+    val files = listDataFiles(table)
+      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val manifest =
       s"""{"snapshot":$snapshot,"rows":$rows,"partitions":[${parts.sorted.mkString(",")}],
+         |"files":[${files.mkString(",")}],
          |"schema":$schemaJson}""".stripMargin.replace("\n", "")
     Files.write(d.resolve(s"snap-$snapshot.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
@@ -77,6 +92,29 @@ object IcebergishTable {
       withPart.schema.json, 0 until numParts, rows)
   }
 
+  /** Write a DataFrame that is ALREADY hash-partitioned on `PartCol` (each
+    * task holds exactly one bucket): dynamic partition overwrite with no
+    * extra exchange — the single-shuffle fast path's sink.
+    */
+  def writePrePartitioned(df: DataFrame, table: String, numParts: Int): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      df.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(PartCol)
+        .parquet(dir(table).resolve("data").toString)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    commit(table, currentSnapshot(table) + 1, df.schema.json,
+      0 until numParts, 0L)
+  }
+
   /** Overwrite only the listed partitions (idempotent resume unit). */
   def overwritePartitions(df: DataFrame, table: String, keyCol: String,
                           numParts: Int, parts: Seq[Int]): Unit = {
@@ -104,6 +142,31 @@ object IcebergishTable {
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(dir(table).resolve("data").toString)
+
+  /** Time travel: read the table exactly as of `snapshot` (the file list
+    * recorded in that snapshot's manifest). Dropped/compacted files that
+    * no longer exist fail loudly, like Iceberg with expired snapshots.
+    */
+  def readSnapshot(spark: SparkSession, table: String, snapshot: Int): DataFrame = {
+    val m = dir(table).resolve(s"snap-$snapshot.json")
+    require(Files.exists(m), s"snapshot $snapshot does not exist for $table")
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    // Minimal extraction of the "files":[...] array (manifests are written
+    // by `commit` above — flat JSON, no nested arrays before "files").
+    val files = """"files":\[(.*?)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+      .split(",").filter(_.nonEmpty)
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"")
+        .replace("\\\\", "\\"))
+    if (files.isEmpty) spark.emptyDataFrame
+    else {
+      val paths = files.map(f => dir(table).resolve(f).toString)
+      // basePath keeps the part=<k> partition column in the schema.
+      spark.read
+        .option("basePath", dir(table).resolve("data").toString)
+        .parquet(paths.toIndexedSeq: _*)
+    }
+  }
 
   def exists(table: String): Boolean =
     Files.exists(dir(table).resolve("VERSION"))

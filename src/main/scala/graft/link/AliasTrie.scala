@@ -2,67 +2,83 @@ package graft.link
 
 import scala.collection.mutable
 
-/** Compressed token-level alias trie (SURVEY.md §7.2 #5).
+/** Compressed alias trie (SURVEY.md §7.2 #5) — char-level, allocation-free
+  * matching.
   *
-  * Built driver-side from the alias dictionary and broadcast to executors;
-  * the mention scan walks the trie with longest-match semantics over the
-  * token stream. Serializable (shipped inside the broadcast).
+  * Built driver-side from the alias dictionary and broadcast to executors.
+  * The match loop walks the text's chars directly against a flat int-matrix
+  * trie: no tokenization, no substring allocation — the scan stage's
+  * allocation rate is what gates multi-core scaling on a 32-thread
+  * executor, so the hot loop allocates nothing until a mention is found.
+  *
+  * Semantics (token-level longest match):
+  *  - a match must start at a token boundary and end at one (an alias never
+  *    matches inside a longer alphanumeric run);
+  *  - multi-token aliases are single-space separated, so a match can never
+  *    cross '\n' (block) or multi-space gaps — the trie only walks ' '.
   *
   * The reference's analog is the driver-side field-union metadata prepared
   * once and used by every decode task
   * (/root/reference/src/graph_loader.rs:927-976).
   */
 final class AliasTrie private (
-    private val children: Array[mutable.HashMap[String, Int]],
+    private val next: Array[Array[Int]], // [node][char] -> node | -1
     private val terminal: Array[Boolean]
 ) extends Serializable {
 
-  /** Longest match starting at token index `start`; returns the number of
-    * tokens consumed (0 = no match). `canExtend(k)` gates whether the match
-    * may extend past token `start + k - 1` (used to stop at block/sentence
-    * boundaries).
+  @inline private def isTokenChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+      c.isLetterOrDigit
+
+  /** Longest alias match starting at `start` (must be a token boundary).
+    * Returns the exclusive end offset of the match, or -1.
     */
-  def longestMatch(tokens: IndexedSeq[String], start: Int,
-                   canExtend: Int => Boolean): Int = {
+  def matchEnd(text: String, start: Int): Int = {
     var node = 0
     var i = start
-    var best = 0
-    var continue = true
-    while (continue && i < tokens.length) {
-      children(node).get(tokens(i)) match {
-        case Some(next) =>
-          node = next
-          i += 1
-          if (terminal(node)) best = i - start
-          // may we consume the next token (no boundary after token i-1)?
-          continue = i < tokens.length && canExtend(i - start)
-        case None => continue = false
+    var best = -1
+    val n = text.length
+    var cont = true
+    while (cont && i < n) {
+      val c = text.charAt(i)
+      val nxt = if (c < 128) next(node)(c) else -1
+      if (nxt < 0) cont = false
+      else {
+        node = nxt
+        i += 1
+        if (terminal(node) && (i >= n || !isTokenChar(text.charAt(i))))
+          best = i
       }
     }
+    if (cont && i == n && terminal(node)) best = i
     best
   }
 
-  def size: Int = children.length
+  def size: Int = next.length
 }
 
 object AliasTrie {
 
-  /** Build from distinct alias surface forms (each split on single spaces). */
+  /** Build from distinct alias surface forms (ASCII letters/digits/space). */
   def build(aliases: Iterable[String]): AliasTrie = {
-    val children = mutable.ArrayBuffer[mutable.HashMap[String, Int]](
-      mutable.HashMap.empty)
+    val next = mutable.ArrayBuffer[Array[Int]](Array.fill(128)(-1))
     val terminal = mutable.ArrayBuffer[Boolean](false)
     aliases.foreach { alias =>
       var node = 0
-      alias.split(' ').foreach { tok =>
-        node = children(node).getOrElseUpdate(tok, {
-          children += mutable.HashMap.empty
+      var i = 0
+      while (i < alias.length) {
+        val c = alias.charAt(i)
+        require(c < 128, s"non-ASCII alias unsupported: $alias")
+        if (next(node)(c) < 0) {
+          next += Array.fill(128)(-1)
           terminal += false
-          children.length - 1
-        })
+          next(node)(c) = next.length - 1
+        }
+        node = next(node)(c)
+        i += 1
       }
       terminal(node) = true
     }
-    new AliasTrie(children.toArray, terminal.toArray)
+    new AliasTrie(next.toArray, terminal.toArray)
   }
 }

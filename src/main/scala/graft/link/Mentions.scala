@@ -21,47 +21,26 @@ import graft.{Alias, LinkedMention, Mention, Page}
   */
 object Mentions {
 
-  private[link] final case class Token(text: String, begin: Int, end: Int)
-
-  /** Tokenize: maximal runs of ASCII letters/digits, with offsets. */
-  private[link] def tokenize(text: String): IndexedSeq[Token] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Token]
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      val c = text.charAt(i)
-      if (c.isLetterOrDigit) {
-        val b = i
-        while (i < n && text.charAt(i).isLetterOrDigit) i += 1
-        out += Token(text.substring(b, i), b, i)
-      } else i += 1
-    }
-    out.toIndexedSeq
-  }
-
-  /** Pure scan of one document's text — also used by tests directly. */
+  /** Pure scan of one document's text — char-level, zero allocation in the
+    * hot loop until a mention is found (also used by tests directly).
+    */
   def scanText(url: String, text: String, trie: AliasTrie): Seq[Mention] = {
-    val tokens = tokenize(text)
-    // A match may extend from token k-1 to token k only when the gap
-    // between them is exactly one plain space (multi-token aliases are
-    // single-spaced; '\n'/'.' gaps are block and sentence boundaries).
-    def gapIsSingleSpace(idx: Int): Boolean =
-      idx + 1 < tokens.length &&
-        tokens(idx + 1).begin == tokens(idx).end + 1 &&
-        text.charAt(tokens(idx).end) == ' '
-    val texts = tokens.map(_.text)
     val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
-    var t = 0
-    while (t < tokens.length) {
-      val len = trie.longestMatch(
-        texts, t,
-        k => gapIsSingleSpace(t + k - 1))
-      if (len > 0) {
-        val b = tokens(t).begin
-        val e = tokens(t + len - 1).end
-        out += Mention(url, text.substring(b, e), b, e)
-        t += len // non-overlapping, longest match consumes its tokens
-      } else t += 1
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      // advance to the next token start
+      while (i < n && !text.charAt(i).isLetterOrDigit) i += 1
+      if (i < n) {
+        val e = trie.matchEnd(text, i)
+        if (e > i) {
+          out += Mention(url, text.substring(i, e), i, e)
+          i = e // non-overlapping, longest match consumes its span
+        } else {
+          // skip this token
+          while (i < n && text.charAt(i).isLetterOrDigit) i += 1
+        }
+      }
     }
     out.toSeq
   }

@@ -78,6 +78,91 @@ object GraphOut {
     WriteStats(pending, all.filter(done), written)
   }
 
+  /** Single-shuffle bucketed write with in-shuffle dedup (the 100 TB hot
+    * path): ONE exchange on the bucket column; rows are sorted within each
+    * bucket on the dedup key by the shuffle's spill-safe sort machinery and
+    * de-duplicated with an O(1)-memory adjacent filter; each task then holds
+    * exactly one bucket, so `partitionBy` emits one file per bucket with no
+    * further repartition. Lineage stats are computed from the *written*
+    * columnar files (only the key column is read back — column pruning makes
+    * this a tiny scan vs a second pass over the full rows).
+    *
+    * vs [[writeWithCheckpoint]] (general path): saves one exchange, one
+    * full-data aggregation pass, and the intermediate checkpoint
+    * materialization.
+    */
+  def writeBucketedDedup(
+      df: DataFrame,
+      table: String,
+      keyCol: String,
+      numParts: Int,
+      dedupCols: Seq[String],
+      ckptPath: String,
+      runId: String,
+      stage: String,
+      groupSize: Int = 64
+  ): WriteStats = {
+    val spark = df.sparkSession
+    val done = Checkpoint.doneParts(spark, ckptPath, runId, stage)
+    val all = (0 until numParts).toSeq
+    val pending = all.filterNot(done)
+    val withPart = df.withColumn(IcebergishTable.PartCol,
+      IcebergishTable.partExpr(keyCol, numParts))
+
+    var written = 0L
+    pending.grouped(groupSize).foreach { group =>
+      val t0 = System.nanoTime()
+      val deduped = bucketedDedupPlan(
+        withPart.where(col(IcebergishTable.PartCol).isin(group: _*)),
+        group.size * 2, dedupCols)
+      IcebergishTable.writePrePartitioned(deduped, table, numParts)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      // Lineage from the written files: prune to (part, key) columns only.
+      val stats = IcebergishTable.read(spark, table)
+        .where(col(IcebergishTable.PartCol).isin(group: _*))
+        .groupBy(col(IcebergishTable.PartCol))
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr(s"bit_xor(xxhash64($keyCol))"), lit(0L)).as("fp"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val rows = group.map { p =>
+        val (n, fp) = stats.getOrElse(p, (0L, 0L))
+        written += n
+        CheckpointRow(runId, stage, p, java.lang.Long.toHexString(fp),
+          n, n, wallMs, "done")
+      }
+      Checkpoint.append(spark, ckptPath, rows)
+    }
+    WriteStats(pending, all.filter(done), written)
+  }
+
+  /** The single-exchange dedup plan (exposed for plan assertions): input
+    * must already carry `PartCol`. Repartition on the bucket column, then
+    * group by (part ++ dedupCols) — the child's HashPartitioning on `part`
+    * is a SUBSET of the grouping keys, so it satisfies the aggregation's
+    * clustering requirement and Catalyst plans the dedup as an in-partition
+    * HashAggregate with NO second exchange, fully codegen'd (spill-safe via
+    * the sort-agg fallback).
+    */
+  def bucketedDedupPlan(withPart: DataFrame, shuffleParts: Int,
+                        dedupCols: Seq[String]): DataFrame = {
+    val sub = withPart.repartition(shuffleParts, col(IcebergishTable.PartCol))
+    if (dedupCols.isEmpty) sub
+    else {
+      val keyCols = IcebergishTable.PartCol +: dedupCols
+      val restCols = sub.columns.filterNot(keyCols.contains)
+      val grouped =
+        if (restCols.isEmpty)
+          sub.groupBy(keyCols.map(col): _*).agg(count(lit(1))).drop("count(1)")
+        else {
+          val aggs = restCols.map(c => first(col(c)).as(c))
+          sub.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        }
+      grouped.select(sub.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
   /** Vertex table from canonical triples: every subject/object id with its
     * triple-degree as a property.
     */

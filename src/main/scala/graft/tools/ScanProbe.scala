@@ -32,7 +32,7 @@ object ScanProbe {
       sentMin = 24, sentSpread = 16))
     prep.stop()
 
-    Seq(8, 32, 8, 32, 8, 32, 32).foreach { cpus =>
+    Seq(2, 8, 2, 8, 32, 32).foreach { cpus =>
       val spark = session(cpus)
       val taskTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       spark.sparkContext.addSparkListener(

@@ -76,12 +76,20 @@ object TripleExtract {
     * hot path; [[triples]] below is the general join-based operator.
     */
   def extractDirect(pages: Dataset[Page], aliases: Seq[graft.Alias],
-                    phrases: Map[String, String]): Dataset[Triple] = {
+                    phrases: Map[String, String],
+                    canon: Map[String, String] = Map.empty): Dataset[Triple] = {
     val spark = pages.sparkSession
     import spark.implicits._
     val trieB = spark.sparkContext.broadcast(
       AliasTrie.build(aliases.map(_.alias).distinct))
-    val winnersB = spark.sparkContext.broadcast(Mentions.aliasWinners(aliases))
+    // Winner selection ties break on ORIGINAL entity ids; canonicalization
+    // is applied after, by remapping the winner values — emitted triples
+    // are then canonical with no separate rewrite stage.
+    val winners0 = Mentions.aliasWinners(aliases)
+    val winners =
+      if (canon.isEmpty) winners0
+      else winners0.map { case (a, (e, s)) => a -> (canon.getOrElse(e, e), s) }
+    val winnersB = spark.sparkContext.broadcast(winners)
     val phrasesB = spark.sparkContext.broadcast(phrases)
     pages.flatMap { p =>
       val ms = Mentions.scanText(p.url, p.text, trieB.value)

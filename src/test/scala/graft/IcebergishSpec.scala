@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.IcebergishTable
+import graft.streaming.StreamingKg
+import graft.synth.PageSynth
+
+/** Iceberg-style table semantics (snapshots, time travel, commit chain)
+  * and the incremental streaming KG build.
+  */
+class IcebergishSpec extends SparkSpec {
+
+  test("append creates snapshots; readSnapshot time-travels; current read sees all") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-ice").toString + "/t"
+    val df1 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    IcebergishTable.write(df1, t, "k", 4)
+    val s0 = IcebergishTable.currentSnapshot(t)
+    val df2 = Seq(("c", 3L)).toDF("k", "v")
+    IcebergishTable.write(df2, t, "k", 4,
+      org.apache.spark.sql.SaveMode.Append)
+    val s1 = IcebergishTable.currentSnapshot(t)
+    assert(s1 == s0 + 1)
+
+    val now = IcebergishTable.read(spark, t)
+      .select("k").as[String].collect().toSet
+    assert(now == Set("a", "b", "c"))
+    val old = IcebergishTable.readSnapshot(spark, t, s0)
+      .select("k").as[String].collect().toSet
+    assert(old == Set("a", "b"))
+    val cur = IcebergishTable.readSnapshot(spark, t, s1)
+      .select("k").as[String].collect().toSet
+    assert(cur == Set("a", "b", "c"))
+  }
+
+  test("invalid pipeline config is rejected at init") {
+    intercept[InvalidConfig] {
+      Pipeline.validate(PipelineConfig(nPages = 0))
+    }
+    intercept[InvalidConfig] {
+      Pipeline.validate(PipelineConfig(outputBuckets = -1))
+    }
+    intercept[InvalidConfig] {
+      Pipeline.validate(PipelineConfig(runId = ""))
+    }
+    Pipeline.validate(PipelineConfig()) // default is valid
+  }
+
+  test("incremental streaming KG: new files yield only new triples; union equals batch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-skg").toString
+    val pagesDir = s"$base/pages-data"
+    Files.createDirectories(java.nio.file.Paths.get(pagesDir))
+    val canon = PageSynth.sameAsPairs.map { case (c, d) => d -> c }.toMap
+
+    // Batch 1 of pages lands.
+    PageSynth.pages(spark, 21L, 120L, 2).toDF
+      .write.mode("append").parquet(pagesDir)
+    val out1 = StreamingKg.buildIncremental(spark, pagesDir,
+      s"$base/triples", s"$base/ckpt", canon)
+    val n1 = out1.count()
+    assert(n1 > 0)
+
+    // Batch 2 lands (different seed → different urls); only it is processed.
+    PageSynth.pages(spark, 22L, 80L, 2).toDF
+      .write.mode("append").parquet(pagesDir)
+    val out2 = StreamingKg.buildIncremental(spark, pagesDir,
+      s"$base/triples", s"$base/ckpt", canon)
+    val n2 = out2.count()
+    assert(n2 > n1)
+
+    // Equivalent batch computation over all pages:
+    val pages = spark.read.parquet(pagesDir)
+      .select(col("url"), col("warc_ts"), col("html"),
+        graft.functions.HtmlExtractExpr.html_extract(col("html")).as("text"),
+        col("lang")).as[Page]
+    val batch = graft.triples.TripleExtract.extractDirect(pages,
+        PageSynth.aliasDictionary, PageSynth.relations.toMap)
+      .map(t => (canon.getOrElse(t.subj, t.subj), t.pred,
+        canon.getOrElse(t.obj, t.obj), t.url))
+      .collect().toSet
+    val streamed = out2.select("subj", "pred", "obj", "url")
+      .as[(String, String, String, String)].collect().toSet
+    assert(streamed == batch)
+  }
+}

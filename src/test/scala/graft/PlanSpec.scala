@@ -85,6 +85,22 @@ class PlanSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("bucketed dedup plans exactly ONE exchange (partitioning satisfies grouping)") {
+    import spark.implicits._
+    val df = spark.range(0, 1000)
+      .select(concat(lit("s"), col("id") % 100).as("subj"),
+        lit("p").as("pred"), concat(lit("o"), col("id") % 50).as("obj"),
+        lit("u").as("url"), lit(1.0).as("conf"))
+      .withColumn(IcebergishTable.PartCol,
+        IcebergishTable.partExpr("subj", 8))
+    val plan = graft.materialize.GraphOut
+      .bucketedDedupPlan(df, 16, Seq("subj", "pred", "obj", "url"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("bucketed table write produces one file set per bucket (no small-file explosion)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-files").toString
