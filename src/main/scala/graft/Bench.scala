@@ -48,14 +48,18 @@ object Bench {
     * no GC/JIT signal); min-of-reps measures the plan, not the storm.
     */
   private def timedBuild(cpus: Int, pagesWork: String, nPages: Long,
-                         runTag: String, reps: Int = 3): (Double, Long) = {
+                         runTag: String, reps: Int = 2): (Double, Long) = {
     val spark = session(cpus)
     try {
-      // Warmup: small build to JIT the hot paths before timing.
-      Pipeline.build(spark, PipelineConfig(seed = 1L, nPages = 2000L,
-        partitions = cpus, outputBuckets = 8,
-        workDir = Files.createTempDirectory("graft-warm").toString,
-        runId = "warm"))
+      // Warmup: a fresh JVM JIT-compiles progressively across full builds
+      // (measured: rep times decline 60s → 32s → 19s on a cold child), so
+      // warm with two small builds plus one mid-size one before timing.
+      Seq(2000L, 2000L, 20000L).zipWithIndex.foreach { case (n, i) =>
+        Pipeline.build(spark, PipelineConfig(seed = 1L + i, nPages = n,
+          partitions = cpus, outputBuckets = 8,
+          workDir = Files.createTempDirectory(s"graft-warm-$i").toString,
+          runId = "warm"))
+      }
       val runs = (1 to reps).map { rep =>
         // Outputs go to tmpfs: a real cluster writes to storage that
         // scales with executor count; a single box's disk does not, and
@@ -97,7 +101,7 @@ object Bench {
     val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "--measure", cpus.toString, pagesWork,
-      nPages.toString, runTag)).asJava
+      nPages.toString, runTag, "1")).asJava
     val pb = new ProcessBuilder(cmd)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -119,7 +123,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     if (args.length >= 5 && args(0) == "--measure") {
       // Child mode: one level, fresh JVM. Prints "MEASURE <sec> <triples>".
-      val (sec, triples) = timedBuild(args(1).toInt, args(2), args(3).toLong, args(4))
+      val reps = if (args.length >= 6) args(5).toInt else 2
+      val (sec, triples) =
+        timedBuild(args(1).toInt, args(2), args(3).toLong, args(4), reps)
       println(s"MEASURE $sec $triples")
       return
     }
@@ -151,9 +157,19 @@ object Bench {
     // three levels are reported.
     val cpusN = math.max(1, cpusHi / 16) // 2 when cpusHi=32
     val cpus4N = cpusN * 4 // 8 when cpusHi=32
-    val (secN, _) = timedBuildIsolated(cpusN, pagesWork, nPages, "n")
-    val (sec4N, _) = timedBuildIsolated(cpus4N, pagesWork, nPages, "n4")
-    val (secHi, triples) = timedBuildIsolated(cpusHi, pagesWork, nPages, "hi")
+    // Two INTERLEAVED rounds over the levels, min per level: the host's
+    // invisible contention fluctuates over minutes, so consecutive reps of
+    // one level share a noise window — interleaving decorrelates the
+    // level-to-level ratio from it.
+    val levels = Seq(cpusN, cpus4N, cpusHi)
+    val rounds = (1 to 2).map { r =>
+      levels.map(c =>
+        c -> timedBuildIsolated(c, pagesWork, nPages, s"r$r-c$c")).toMap
+    }
+    def best(c: Int): (Double, Long) = rounds.map(_(c)).minBy(_._1)
+    val (secN, _) = best(cpusN)
+    val (sec4N, _) = best(cpus4N)
+    val (secHi, triples) = best(cpusHi)
     val thrN = triples / secN
     val thr4N = triples / sec4N
     val thrHi = triples / secHi
