@@ -127,11 +127,13 @@ object Pipeline {
     // bucket, lineage from the written columnar files.
     val ckpt = s"${cfg.workDir}/checkpoint"
     val edgesTable = s"${cfg.workDir}/edges"
+    val inputTag = s"snap-${IcebergishTable.currentSnapshot(table)}"
     val rawTriples = TripleExtract.extractDirect(pages, aliasDict, phrases, canon)
     val edgeStats = timed("scan+dedup+write edges") {
       GraphOut.writeBucketedDedup(
         rawTriples.toDF, edgesTable, "subj", cfg.outputBuckets,
-        Seq("subj", "pred", "obj", "url"), ckpt, cfg.runId, "edges")
+        Seq("subj", "pred", "obj", "url"), ckpt, cfg.runId, "edges",
+        inputTag = inputTag)
     }
 
     // Vertices derive from the written (compressed, pruned) edge table.
@@ -139,7 +141,8 @@ object Pipeline {
       val edges = IcebergishTable.read(spark, edgesTable)
       GraphOut.writeBucketedDedup(
         GraphOut.vertices(edges), s"${cfg.workDir}/vertices", "id",
-        cfg.outputBuckets, Seq.empty, ckpt, cfg.runId, "vertices")
+        cfg.outputBuckets, Seq.empty, ckpt, cfg.runId, "vertices",
+        inputTag = inputTag)
     }
     edgeStats.rowsWritten
   }

@@ -33,12 +33,17 @@ object Checkpoint {
       .write.mode(SaveMode.Append).parquet(path)
   }
 
-  /** Partitions of `stage` already completed for `runId`. */
+  /** Partitions of `stage` already completed for `runId` AND the same
+    * input snapshot — an ack against a different input is stale (the
+    * reference's cursor is likewise bound to one dump context,
+    * /root/reference/src/sharding.rs:86-137).
+    */
   def doneParts(spark: SparkSession, path: String, runId: String,
-                stage: String): Set[Int] = {
+                stage: String, inputTag: String): Set[Int] = {
     import spark.implicits._
     read(spark, path)
-      .filter(r => r.run_id == runId && r.stage == stage && r.status == "done")
+      .filter(r => r.run_id == runId && r.stage == stage &&
+        r.status == "done" && r.input_tag == inputTag)
       .map(_.part)
       .collect()
       .toSet

@@ -38,10 +38,11 @@ object GraphOut {
       runId: String,
       stage: String,
       groupSize: Int = 8,
-      failAfterGroups: Int = -1
+      failAfterGroups: Int = -1,
+      inputTag: String = "static"
   ): WriteStats = {
     val spark = df.sparkSession
-    val done = Checkpoint.doneParts(spark, ckptPath, runId, stage)
+    val done = Checkpoint.doneParts(spark, ckptPath, runId, stage, inputTag)
     val all = (0 until numParts).toSeq
     val pending = all.filterNot(done)
     val withPart = df.withColumn(IcebergishTable.PartCol,
@@ -68,8 +69,8 @@ object GraphOut {
       val rows = group.map { p =>
         val (n, fp) = stats.getOrElse(p, (0L, 0L))
         written += n
-        CheckpointRow(runId, stage, p, java.lang.Long.toHexString(fp),
-          n, n, wallMs, "done")
+        CheckpointRow(runId, stage, p, inputTag,
+          java.lang.Long.toHexString(fp), n, n, wallMs, "done")
       }
       // Ack strictly after the data files are durable.
       Checkpoint.append(spark, ckptPath, rows)
@@ -100,10 +101,11 @@ object GraphOut {
       ckptPath: String,
       runId: String,
       stage: String,
-      groupSize: Int = 64
+      groupSize: Int = 64,
+      inputTag: String = "static"
   ): WriteStats = {
     val spark = df.sparkSession
-    val done = Checkpoint.doneParts(spark, ckptPath, runId, stage)
+    val done = Checkpoint.doneParts(spark, ckptPath, runId, stage, inputTag)
     val all = (0 until numParts).toSeq
     val pending = all.filterNot(done)
     val withPart = df.withColumn(IcebergishTable.PartCol,
@@ -129,8 +131,8 @@ object GraphOut {
       val rows = group.map { p =>
         val (n, fp) = stats.getOrElse(p, (0L, 0L))
         written += n
-        CheckpointRow(runId, stage, p, java.lang.Long.toHexString(fp),
-          n, n, wallMs, "done")
+        CheckpointRow(runId, stage, p, inputTag,
+          java.lang.Long.toHexString(fp), n, n, wallMs, "done")
       }
       Checkpoint.append(spark, ckptPath, rows)
     }

@@ -85,6 +85,8 @@ final case class CheckpointRow(
     run_id: String,
     stage: String,
     part: Int,
+    input_tag: String, // input-table snapshot id: a checkpoint row is only
+    // valid for resume while the input snapshot matches
     input_fingerprint: String,
     rows_in: Long,
     rows_out: Long,

@@ -75,7 +75,7 @@ class PipelineSpec extends SparkSpec {
       GraphOut.writeWithCheckpoint(triples, s"$dir/edges", "subj", numParts,
         s"$dir/ckpt", "r1", "edges", groupSize = 4, failAfterGroups = 2)
     }
-    val doneBefore = Checkpoint.doneParts(spark, s"$dir/ckpt", "r1", "edges")
+    val doneBefore = Checkpoint.doneParts(spark, s"$dir/ckpt", "r1", "edges", "static")
     assert(doneBefore.size == 8, s"expected 8 acked parts, got $doneBefore")
 
     // Resume: only the remaining 8 partitions are recomputed.
@@ -93,6 +93,27 @@ class PipelineSpec extends SparkSpec {
     val ckpt = Checkpoint.read(spark, s"$dir/ckpt").collect()
     assert(ckpt.map(_.part).toSet == (0 until numParts).toSet)
     assert(ckpt.forall(r => r.status == "done" && r.wall_ms >= 0))
+  }
+
+  test("checkpoint acks are bound to the input snapshot: stale tag forces recompute") {
+    import spark.implicits._
+    val triples = Seq(
+      Triple("E1", "p", "E2", "u1", 1.0),
+      Triple("E3", "p", "E4", "u2", 1.0)).toDF
+    val dir = tmpDir("graft-stale")
+    GraphOut.writeBucketedDedup(triples, s"$dir/edges", "subj", 4,
+      Seq("subj", "pred", "obj", "url"), s"$dir/ckpt", "r1", "edges",
+      inputTag = "snap-0")
+    // Same tag → full skip.
+    val again = GraphOut.writeBucketedDedup(triples, s"$dir/edges", "subj", 4,
+      Seq("subj", "pred", "obj", "url"), s"$dir/ckpt", "r1", "edges",
+      inputTag = "snap-0")
+    assert(again.partsWritten.isEmpty && again.partsSkipped.size == 4)
+    // New input snapshot → acks are stale, everything recomputes.
+    val fresh = GraphOut.writeBucketedDedup(triples, s"$dir/edges", "subj", 4,
+      Seq("subj", "pred", "obj", "url"), s"$dir/ckpt", "r1", "edges",
+      inputTag = "snap-1")
+    assert(fresh.partsWritten.size == 4)
   }
 
   test("fused build() path emits exactly the same edge table as run()") {
