@@ -48,8 +48,10 @@ object Bench {
     * no GC/JIT signal); min-of-reps measures the plan, not the storm.
     */
   private def timedBuild(cpus: Int, pagesWork: String, nPages: Long,
-                         runTag: String, reps: Int = 2): (Double, Long) = {
+                         runTag: String, reps: Int = 2): (Double, Long, Double) = {
     val spark = session(cpus)
+    val cpuListener = new org.apache.spark.graftmetrics.TaskCpuListener
+    spark.sparkContext.addSparkListener(cpuListener)
     try {
       // Warmup: a fresh JVM JIT-compiles progressively across full builds
       // (measured: rep times decline 60s → 32s → 19s on a cold child), so
@@ -70,19 +72,25 @@ object Bench {
         else Files.createTempDirectory(s"graft-bench-$runTag-$rep")).toString
         // outputBuckets fixed across parallelism levels: both levels must
         // run the identical job for the scaling ratio to mean anything.
+        // sentMin/sentSpread must match the shared pages table's synthesis
+        // config — buildPagesTable verifies the fingerprint and would
+        // rebuild on mismatch.
         val cfg = PipelineConfig(seed = 42L, nPages = nPages,
           partitions = math.max(cpus * 2, 16), outputBuckets = 32,
-          workDir = outDir, runId = s"bench-$runTag-$rep")
+          workDir = outDir, runId = s"bench-$runTag-$rep",
+          sentMin = 24, sentSpread = 16)
         // Share the pre-built pages table: symlink it into the work dir.
         Files.createSymbolicLink(
           java.nio.file.Paths.get(s"$outDir/pages"),
           java.nio.file.Paths.get(pagesWork))
+        cpuListener.reset()
         val t0 = System.nanoTime()
         val triples = Pipeline.build(spark, cfg)
         val sec = (System.nanoTime() - t0) / 1e9
+        val cpuSec = cpuListener.cpuSeconds(spark.sparkContext)
         // Throwaway output: free the tmpfs before the next rep.
         graft.io.IcebergishTable.drop(outDir)
-        (sec, triples)
+        (sec, triples, cpuSec)
       }
       runs.minBy(_._1)
     } finally spark.stop()
@@ -93,7 +101,7 @@ object Bench {
     * session churn cannot pollute a level's timing.
     */
   private def timedBuildIsolated(cpus: Int, pagesWork: String, nPages: Long,
-                                 runTag: String): (Double, Long) = {
+                                 runTag: String): (Double, Long, Double) = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -112,7 +120,8 @@ object Bench {
     out.linesIterator.find(_.startsWith("MEASURE ")) match {
       case Some(line) =>
         val parts = line.split(' ')
-        (parts(1).toDouble, parts(2).toLong)
+        (parts(1).toDouble, parts(2).toLong,
+          if (parts.length > 3) parts(3).toDouble else 0.0)
       case None =>
         System.err.println(s"[bench] child (cpus=$cpus) failed, exit=$code; " +
           "falling back to in-process measurement")
@@ -124,9 +133,9 @@ object Bench {
     if (args.length >= 5 && args(0) == "--measure") {
       // Child mode: one level, fresh JVM. Prints "MEASURE <sec> <triples>".
       val reps = if (args.length >= 6) args(5).toInt else 2
-      val (sec, triples) =
+      val (sec, triples, cpuSec) =
         timedBuild(args(1).toInt, args(2), args(3).toLong, args(4), reps)
-      println(s"MEASURE $sec $triples")
+      println(s"MEASURE $sec $triples $cpuSec")
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -166,15 +175,22 @@ object Bench {
       levels.map(c =>
         c -> timedBuildIsolated(c, pagesWork, nPages, s"r$r-c$c")).toMap
     }
-    def best(c: Int): (Double, Long) = rounds.map(_(c)).minBy(_._1)
-    val (secN, _) = best(cpusN)
-    val (sec4N, _) = best(cpus4N)
-    val (secHi, triples) = best(cpusHi)
+    def best(c: Int): (Double, Long, Double) = rounds.map(_(c)).minBy(_._1)
+    val (secN, _, cpuN) = best(cpusN)
+    val (sec4N, _, cpu4N) = best(cpus4N)
+    val (secHi, triples, cpuHi) = best(cpusHi)
     val thrN = triples / secN
     val thr4N = triples / sec4N
     val thrHi = triples / secHi
     val efficiency = (thr4N / thrN) / (cpus4N.toDouble / cpusN)
     val efficiencyHi = (thrHi / thr4N) / (cpusHi.toDouble / cpus4N)
+    // Steal-immune scaling efficiency: identical work at both levels means a
+    // perfectly scaling job burns the same TOTAL executor CPU; the ratio
+    // cpu_lo/cpu_hi < 1 exposes genuine parallel overhead at the wider level
+    // (scheduler, shuffle, cache contention) while being blind to host steal
+    // that corrupts wall clock on this shared box (BASELINE.md §noise).
+    val cpuEff = if (cpu4N > 0) cpuN / cpu4N else 0.0
+    val cpuEffHi = if (cpuHi > 0) cpu4N / cpuHi else 0.0
 
     // Headline per-query timings at full parallelism on the driver tables.
     val spark = session(cpusHi)
@@ -199,15 +215,25 @@ object Bench {
 
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val qs = qTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
-    println(
+    val line =
       s"""{"metric":"kg_triples_per_sec","value":${f(thrHi)},"unit":"triples/sec",""" +
         s""""queries":$qs,"sf":"$sfDir","pages":$nPages,"triples":$triples,""" +
         s""""kg_build_sec":${f(secHi)},""" +
         s""""scaling":{"cpus_lo":$cpusN,"sec_lo":${f(secN)},"throughput_lo":${f(thrN)},""" +
         s""""cpus_hi":$cpus4N,"sec_hi":${f(sec4N)},"throughput_hi":${f(thr4N)},""" +
         s""""efficiency":${f(efficiency)},""" +
+        s""""cpu_sec_lo":${f(cpuN)},"cpu_sec_hi":${f(cpu4N)},""" +
+        s""""cpu_efficiency":${f(cpuEff)},""" +
+        s""""cpu_note":"cpu_efficiency = total executor CPU at N / at 4N (same job, same input): 1.0 = zero parallel overhead; steal-immune companion to wall-clock efficiency on this noise-prone shared host",""" +
         s""""full_width":{"cpus":$cpusHi,"sec":${f(secHi)},"throughput":${f(thrHi)},""" +
         s""""efficiency_vs_4n":${f(efficiencyHi)},""" +
-        s""""note":"single-box DRAM bandwidth caps string-heavy scan beyond ~8-16 threads; a 4N-executor cluster adds bandwidth per executor"}}}""")
+        s""""cpu_sec":${f(cpuHi)},"cpu_efficiency_vs_4n":${f(cpuEffHi)},""" +
+        s""""note":"single-box DRAM bandwidth caps string-heavy scan beyond ~8-16 threads; a 4N-executor cluster adds bandwidth per executor"}}}"""
+    println(line)
+    // Belt-and-suspenders for the driver's parser: the same single line as a
+    // file, immune to any log-prefix wrapping of stdout.
+    Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LINE.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -70,10 +70,33 @@ object Pipeline {
     */
   def buildPagesTable(spark: SparkSession, cfg: PipelineConfig): String = {
     val table = s"${cfg.workDir}/pages"
-    if (!IcebergishTable.exists(table)) {
+    // Content fingerprint of the synthesis config: a reused workDir with a
+    // CHANGED config must not silently serve stale pages (the synthesizer is
+    // deterministic, so same fingerprint ⇒ same table content). Mismatch ⇒
+    // rebuild. `partitions`/`outputBuckets` shape parallelism/layout only —
+    // pages is a read-only input downstream, so layout is not part of the
+    // content contract.
+    val fingerprint =
+      s"seed=${cfg.seed};nPages=${cfg.nPages};sentMin=${cfg.sentMin};" +
+        s"sentSpread=${cfg.sentSpread}"
+    val fpFile = java.nio.file.Paths.get(table, "SYNTH_CONFIG")
+    val current =
+      if (java.nio.file.Files.exists(fpFile))
+        Some(new String(java.nio.file.Files.readAllBytes(fpFile),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      else None
+    if (!IcebergishTable.exists(table) || !current.contains(fingerprint)) {
+      // A shared (symlinked) pages table is someone else's data: never walk
+      // through the link and delete it — unlink and rebuild locally.
+      val tPath = java.nio.file.Paths.get(table)
+      if (java.nio.file.Files.isSymbolicLink(tPath))
+        java.nio.file.Files.delete(tPath)
+      else if (IcebergishTable.exists(table)) IcebergishTable.drop(table)
       val pages = PageSynth.pages(spark, cfg.seed, cfg.nPages, cfg.partitions,
         cfg.sentMin, cfg.sentSpread)
       IcebergishTable.write(pages.toDF, table, "url", cfg.outputBuckets)
+      java.nio.file.Files.write(fpFile,
+        fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     table
   }

@@ -274,7 +274,12 @@ object SparkEntry {
     }),
     "kg_edges" -> ((s, _) => entry(s)),
     "kg_vertices" -> ((s, _) =>
-      graft.materialize.GraphOut.vertices(entry(s))),
+      // Driver-comparable projection: the vertex table's MapType props
+      // column is not hashable by the driver's canonicalizer (round-1 err),
+      // so emit the flat degree property instead.
+      graft.materialize.GraphOut.vertices(entry(s))
+        .select(col("id"), col("label"),
+          col("props")("degree").cast("long").as("degree"))),
     "kg_checkpoint" -> ((s, _) => {
       // Run a small checkpointed build and return its lineage table.
       import s.implicits._
@@ -295,12 +300,14 @@ object SparkEntry {
         "split_part(source || '/' || CAST(doc_id AS VARCHAR), '/', 1) AS collection " +
         "FROM documents"),
     "f1_validation_filter" ->
+      // CAST: DuckDB sum(int) yields HUGEINT (pandas object) — the driver's
+      // type-sensitive hash then mismatches Spark's BIGINT (round-1 finding).
       ("SELECT count(*) AS n_rows, " +
-        "sum(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1 ELSE 0 END) AS n_valid " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid " +
         "FROM documents"),
     "a1_distinct" -> "SELECT DISTINCT lang FROM documents",
     "q_agg_group" ->
-      ("SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, " +
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
         "min(doc_id) AS min_doc FROM documents GROUP BY lang"),
     "q_join_broadcast" ->
       ("SELECT c_mktsegment AS segment, count(*) AS n_orders, " +
@@ -335,7 +342,7 @@ object SparkEntry {
         "length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_consonant_chars, " +
         "concat_ws('|', lang, source) AS tag FROM documents"),
     "q_rollup" ->
-      ("SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars " +
+      ("SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY ROLLUP (lang, source)"),
     "q_anti_join" ->
       ("SELECT c_custkey, c_name FROM customer " +
@@ -367,7 +374,9 @@ object SparkEntry {
     "q_stream_sessions" ->
       ("WITH o AS (SELECT user_id, ts, value, CASE WHEN " +
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
-        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 6 HOUR " +
+        // >= : session_window is half-open [start, last+gap) — an event
+        // exactly gap after the previous one starts a NEW session.
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 6 HOUR " +
         "THEN 1 ELSE 0 END AS brk FROM events), " +
         "s AS (SELECT user_id, ts, value, " +
         "sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid " +

@@ -104,8 +104,18 @@ object HtmlText {
               try Integer.parseInt(e.substring(1)) catch { case _: Exception => -1 }
             case _ => -1
           }
-          if (decoded >= 0) {
-            appendChar(decoded.toChar)
+          // Reject lone-surrogate and out-of-range codepoints (pass the
+          // literal text through deterministically, like any non-entity).
+          val valid = decoded >= 0 && decoded <= 0x10FFFF &&
+            !(decoded >= 0xD800 && decoded <= 0xDFFF)
+          if (valid) {
+            if (decoded > 0xFFFF) {
+              // Supplementary plane: emit the surrogate pair — truncating
+              // via toChar would map e.g. &#128512; to an unrelated BMP char.
+              if (pendingSpace && cur.length > 0) cur.append(' ')
+              pendingSpace = false
+              cur.appendCodePoint(decoded)
+            } else appendChar(decoded.toChar)
             i = semi + 1
           } else { appendChar('&'); i += 1 }
         } else { appendChar('&'); i += 1 }

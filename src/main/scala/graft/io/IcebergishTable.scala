@@ -140,6 +140,21 @@ object IcebergishTable {
       0 until numParts, 0L)
   }
 
+  /** Remove the data directories of the given buckets. Dynamic partition
+    * overwrite only replaces partitions PRESENT in the written data — a
+    * recomputed bucket that now holds zero rows would otherwise keep its
+    * stale files on disk (and be re-counted as current by any read-back).
+    * Callers delete the pending buckets they are about to (re)write; those
+    * buckets are unacked by definition, so a crash after the delete simply
+    * recomputes them on resume.
+    */
+  def deletePartitionDirs(table: String, parts: Seq[Int]): Unit =
+    parts.foreach { p =>
+      val d = dir(table).resolve("data").resolve(s"$PartCol=$p")
+      if (Files.exists(d))
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(dir(table).resolve("data").toString)
 

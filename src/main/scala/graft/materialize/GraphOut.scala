@@ -64,6 +64,10 @@ object GraphOut {
         .collect()
         .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
+      // Pending buckets may hold stale files from a previous input snapshot;
+      // dynamic overwrite won't touch a bucket with zero new rows, so clear
+      // them explicitly before the write (they are unacked — crash-safe).
+      IcebergishTable.deletePartitionDirs(table, group)
       IcebergishTable.overwritePartitions(df, table, keyCol, numParts, group)
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val rows = group.map { p =>
@@ -117,9 +121,16 @@ object GraphOut {
       val deduped = bucketedDedupPlan(
         withPart.where(col(IcebergishTable.PartCol).isin(group: _*)),
         group.size * 2, dedupCols)
+      // Clear stale files of the pending buckets first: dynamic overwrite
+      // skips buckets that receive zero rows from the new input, and the
+      // read-back lineage below would otherwise count stale rows as current.
+      IcebergishTable.deletePartitionDirs(table, group)
       IcebergishTable.writePrePartitioned(deduped, table, numParts)
       val wallMs = (System.nanoTime() - t0) / 1000000L
       // Lineage from the written files: prune to (part, key) columns only.
+      // (Correct because the group's dirs were cleared above — the read-back
+      // sees exactly this write's files; reading back beats re-running the
+      // whole upstream plan a second time just for stats.)
       val stats = IcebergishTable.read(spark, table)
         .where(col(IcebergishTable.PartCol).isin(group: _*))
         .groupBy(col(IcebergishTable.PartCol))
