@@ -33,7 +33,12 @@ final case class PipelineConfig(
     runId: String = "run-1",
     failAfterGroups: Int = -1,
     sentMin: Int = 3,
-    sentSpread: Int = 5
+    sentSpread: Int = 5,
+    // Max sameAs-edge count for which the component map is collected to the
+    // driver and folded into the broadcast link winners; above it the build
+    // canonicalizes via a join instead (driver-OOM guard for the day the
+    // sameAs graph comes from DISCOVERED entities, not the dictionary).
+    ccLocalThreshold: Long = 500000L
 )
 
 /** Config rejection — the reference fails init on inconsistent parameters
@@ -136,12 +141,15 @@ object Pipeline {
     val aliasDict = PageSynth.aliasDictionary
     val phrases = PageSynth.relations.toMap
 
-    // Canonicalization map first (dictionary-derived sameAs graph →
-    // strategy-selected CC → driver map), folded into the broadcast link
-    // winners, so the narrow pass emits canonical triples directly.
-    val canon = timed("cc") {
-      ConnectedComponents.components(PageSynth.sameAs(spark).toDF("src", "dst"))
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // Canonicalization first. The strategy gate is SIZE: a sameAs graph at
+    // dictionary scale collapses to a driver map folded into the broadcast
+    // link winners (zero extra joins in the hot pass); a huge one (discovered
+    // entities) never touches the driver — the raw triples canonicalize via
+    // a join whose broadcast/shuffle choice is left to AQE.
+    val (canonDf, fitsDriver) = timed("cc") {
+      ConnectedComponents.componentsSized(
+        PageSynth.sameAs(spark).toDF("src", "dst"),
+        localThreshold = cfg.ccLocalThreshold)
     }
 
     // ONE fused narrow pass (codegen'd html_extract → char-trie scan →
@@ -151,7 +159,16 @@ object Pipeline {
     val ckpt = s"${cfg.workDir}/checkpoint"
     val edgesTable = s"${cfg.workDir}/edges"
     val inputTag = s"snap-${IcebergishTable.currentSnapshot(table)}"
-    val rawTriples = TripleExtract.extractDirect(pages, aliasDict, phrases, canon)
+    val rawTriples =
+      if (fitsDriver) {
+        val canon = canonDf.collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        TripleExtract.extractDirect(pages, aliasDict, phrases, canon)
+      } else
+        // No dedup here: the bucketed writer dedups in its own shuffle.
+        TripleExtract.canonicalize(
+          TripleExtract.extractDirect(pages, aliasDict, phrases),
+          canonDf, assumeSmall = false, dedup = false)
     val edgeStats = timed("scan+dedup+write edges") {
       GraphOut.writeBucketedDedup(
         rawTriples.toDF, edgesTable, "subj", cfg.outputBuckets,
@@ -159,13 +176,15 @@ object Pipeline {
         inputTag = inputTag)
     }
 
-    // Vertices derive from the written (compressed, pruned) edge table.
+    // Vertices derive from the written (compressed, pruned) edge table via
+    // the fused single-exchange plan: endpoint-id union → ONE bucket
+    // exchange → in-partition (part, id) degree aggregate → one file per
+    // bucket (the old path exchanged twice: groupBy(id) + repartition).
     timed("write vertices") {
       val edges = IcebergishTable.read(spark, edgesTable)
-      GraphOut.writeBucketedDedup(
-        GraphOut.vertices(edges), s"${cfg.workDir}/vertices", "id",
-        cfg.outputBuckets, Seq.empty, ckpt, cfg.runId, "vertices",
-        inputTag = inputTag)
+      GraphOut.writeVerticesBucketed(
+        edges, s"${cfg.workDir}/vertices", cfg.outputBuckets,
+        ckpt, cfg.runId, "vertices", inputTag = inputTag)
     }
     edgeStats.rowsWritten
   }

@@ -68,11 +68,22 @@ object ConnectedComponents {
     * while the distributed star algorithm stays available for huge graphs.
     */
   def components(edges: DataFrame, maxIter: Int = 50,
-                 localThreshold: Long = 500000L): DataFrame = {
+                 localThreshold: Long = 500000L): DataFrame =
+    componentsSized(edges, maxIter, localThreshold)._1
+
+  /** Like [[components]], also reporting whether the graph was small enough
+    * for the driver-local strategy. Callers that want to `collect()` the
+    * component map (to fold it into a broadcast) MUST gate on this flag —
+    * above the threshold the map itself may not fit on the driver, and the
+    * join-based [[graft.triples.TripleExtract.canonicalize]] is the safe
+    * path.
+    */
+  def componentsSized(edges: DataFrame, maxIter: Int = 50,
+                      localThreshold: Long = 500000L): (DataFrame, Boolean) = {
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    if (e.count() <= localThreshold) componentsLocal(e)
-    else componentsDistributed(e, maxIter)
+    if (e.count() <= localThreshold) (componentsLocal(e), true)
+    else (componentsDistributed(e, maxIter), false)
   }
 
   /** Driver-side union-find for small graphs (single collect). */

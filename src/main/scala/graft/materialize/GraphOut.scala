@@ -25,6 +25,85 @@ object GraphOut {
   final case class WriteStats(partsWritten: Seq[Int], partsSkipped: Seq[Int],
                               rowsWritten: Long)
 
+  /** Acked buckets whose on-disk data still matches the acked fingerprint.
+    *
+    * An ack row records `bit_xor(xxhash64(key))` of the bucket as written;
+    * on resume we recompute it from the table (a column-pruned scan of the
+    * key column over the acked buckets only) and demote any mismatch to
+    * pending — a tampered or partially-deleted bucket recomputes instead of
+    * silently surviving. The reference's ack is implicitly bound
+    * to one dump context the same way (/root/reference/src/sharding.rs:
+    * 86-137). First runs skip the scan entirely (no acks yet).
+    */
+  private def verifiedDoneParts(spark: SparkSession, table: String,
+                                keyCol: String, ckptPath: String,
+                                runId: String, stage: String,
+                                inputTag: String): Set[Int] = {
+    val rows = Checkpoint.readRows(ckptPath)
+      .filter(r => r.run_id == runId && r.stage == stage &&
+        r.status == "done" && r.input_tag == inputTag)
+    if (rows.isEmpty || !IcebergishTable.exists(table)) return Set.empty
+    val expected: Map[Int, String] =
+      rows.groupBy(_.part).view.mapValues(_.last.input_fingerprint).toMap
+    val done = expected.keySet
+    val actual = IcebergishTable.read(spark, table)
+      .where(col(IcebergishTable.PartCol).isin(done.toSeq: _*))
+      .groupBy(col(IcebergishTable.PartCol))
+      .agg(coalesce(expr(s"bit_xor(xxhash64($keyCol))"), lit(0L)).as("fp"))
+      .collect()
+      .map(r => r.getInt(0) -> java.lang.Long.toHexString(r.getLong(1)))
+      .toMap
+    done.filter(p => actual.getOrElse(p, "0") == expected(p))
+  }
+
+  /** Shared grouped-write core: for each group of pending buckets, build the
+    * group's pre-partitioned plan, clear the group's (possibly stale) bucket
+    * dirs, write, then ack with read-back lineage. `plan(group)` must return
+    * a DataFrame already exchange-partitioned on [[IcebergishTable.PartCol]]
+    * (each task holds exactly one bucket).
+    */
+  private def writeGrouped(
+      spark: SparkSession, table: String, keyCol: String, numParts: Int,
+      ckptPath: String, runId: String, stage: String, groupSize: Int,
+      inputTag: String)(plan: Seq[Int] => DataFrame): WriteStats = {
+    val done = verifiedDoneParts(spark, table, keyCol, ckptPath, runId,
+      stage, inputTag)
+    val all = (0 until numParts).toSeq
+    val pending = all.filterNot(done)
+
+    var written = 0L
+    pending.grouped(groupSize).foreach { group =>
+      val t0 = System.nanoTime()
+      val deduped = plan(group)
+      // Clear stale files of the pending buckets first: dynamic overwrite
+      // skips buckets that receive zero rows from the new input, and the
+      // read-back lineage below would otherwise count stale rows as current.
+      IcebergishTable.deletePartitionDirs(table, group)
+      IcebergishTable.writePrePartitioned(deduped, table, numParts)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      // Lineage from the written files: prune to (part, key) columns only.
+      // (Correct because the group's dirs were cleared above — the read-back
+      // sees exactly this write's files; reading back beats re-running the
+      // whole upstream plan a second time just for stats.)
+      val stats = IcebergishTable.read(spark, table)
+        .where(col(IcebergishTable.PartCol).isin(group: _*))
+        .groupBy(col(IcebergishTable.PartCol))
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr(s"bit_xor(xxhash64($keyCol))"), lit(0L)).as("fp"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val rows = group.map { p =>
+        val (n, fp) = stats.getOrElse(p, (0L, 0L))
+        written += n
+        CheckpointRow(runId, stage, p, inputTag,
+          java.lang.Long.toHexString(fp), n, n, wallMs, "done")
+      }
+      Checkpoint.append(spark, ckptPath, rows)
+    }
+    WriteStats(pending, all.filter(done), written)
+  }
+
   /** Write `df` into `table`, bucketed on `keyCol` into `numParts` buckets,
     * `groupSize` buckets per commit. `failAfterGroups >= 0` injects a crash
     * after that many committed groups (tests only).
@@ -42,7 +121,8 @@ object GraphOut {
       inputTag: String = "static"
   ): WriteStats = {
     val spark = df.sparkSession
-    val done = Checkpoint.doneParts(spark, ckptPath, runId, stage, inputTag)
+    val done = verifiedDoneParts(spark, table, keyCol, ckptPath, runId,
+      stage, inputTag)
     val all = (0 until numParts).toSeq
     val pending = all.filterNot(done)
     val withPart = df.withColumn(IcebergishTable.PartCol,
@@ -88,9 +168,7 @@ object GraphOut {
     * bucket on the dedup key by the shuffle's spill-safe sort machinery and
     * de-duplicated with an O(1)-memory adjacent filter; each task then holds
     * exactly one bucket, so `partitionBy` emits one file per bucket with no
-    * further repartition. Lineage stats are computed from the *written*
-    * columnar files (only the key column is read back — column pruning makes
-    * this a tiny scan vs a second pass over the full rows).
+    * further repartition.
     *
     * vs [[writeWithCheckpoint]] (general path): saves one exchange, one
     * full-data aggregation pass, and the intermediate checkpoint
@@ -108,46 +186,14 @@ object GraphOut {
       groupSize: Int = 64,
       inputTag: String = "static"
   ): WriteStats = {
-    val spark = df.sparkSession
-    val done = Checkpoint.doneParts(spark, ckptPath, runId, stage, inputTag)
-    val all = (0 until numParts).toSeq
-    val pending = all.filterNot(done)
     val withPart = df.withColumn(IcebergishTable.PartCol,
       IcebergishTable.partExpr(keyCol, numParts))
-
-    var written = 0L
-    pending.grouped(groupSize).foreach { group =>
-      val t0 = System.nanoTime()
-      val deduped = bucketedDedupPlan(
+    writeGrouped(df.sparkSession, table, keyCol, numParts, ckptPath, runId,
+      stage, groupSize, inputTag) { group =>
+      bucketedDedupPlan(
         withPart.where(col(IcebergishTable.PartCol).isin(group: _*)),
         group.size * 2, dedupCols)
-      // Clear stale files of the pending buckets first: dynamic overwrite
-      // skips buckets that receive zero rows from the new input, and the
-      // read-back lineage below would otherwise count stale rows as current.
-      IcebergishTable.deletePartitionDirs(table, group)
-      IcebergishTable.writePrePartitioned(deduped, table, numParts)
-      val wallMs = (System.nanoTime() - t0) / 1000000L
-      // Lineage from the written files: prune to (part, key) columns only.
-      // (Correct because the group's dirs were cleared above — the read-back
-      // sees exactly this write's files; reading back beats re-running the
-      // whole upstream plan a second time just for stats.)
-      val stats = IcebergishTable.read(spark, table)
-        .where(col(IcebergishTable.PartCol).isin(group: _*))
-        .groupBy(col(IcebergishTable.PartCol))
-        .agg(count(lit(1)).as("n"),
-          coalesce(expr(s"bit_xor(xxhash64($keyCol))"), lit(0L)).as("fp"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
-      val rows = group.map { p =>
-        val (n, fp) = stats.getOrElse(p, (0L, 0L))
-        written += n
-        CheckpointRow(runId, stage, p, inputTag,
-          java.lang.Long.toHexString(fp), n, n, wallMs, "done")
-      }
-      Checkpoint.append(spark, ckptPath, rows)
     }
-    WriteStats(pending, all.filter(done), written)
   }
 
   /** The single-exchange dedup plan (exposed for plan assertions): input
@@ -189,4 +235,50 @@ object GraphOut {
         lit("entity").as("label"),
         map(lit("degree"), col("degree").cast("string")).as("props"))
   }
+
+  /** Single-exchange vertex derivation (exposed for plan assertions): the
+    * endpoint-id union exchanges ONCE on the bucket column; the degree
+    * count then runs as an in-partition HashAggregate on (part, id) — the
+    * child HashPartitioning on `part` is a subset of the grouping keys, so
+    * no second exchange is planned. Halves the old vertex path's shuffles
+    * (groupBy(id) exchange + bucket repartition → one bucket exchange).
+    */
+  def verticesBucketedPlan(triples: DataFrame, numParts: Int,
+                           shuffleParts: Int,
+                           parts: Option[Seq[Int]] = None): DataFrame = {
+    val ids = triples.select(col("subj").as("id"))
+      .union(triples.select(col("obj").as("id")))
+      .withColumn(IcebergishTable.PartCol,
+        IcebergishTable.partExpr("id", numParts))
+    // Bucket filter BEFORE the exchange: a resume with few pending buckets
+    // only shuffles those buckets' ids.
+    val scoped = parts.fold(ids)(p =>
+      ids.where(col(IcebergishTable.PartCol).isin(p: _*)))
+    scoped.repartition(shuffleParts, col(IcebergishTable.PartCol))
+      .groupBy(col(IcebergishTable.PartCol), col("id"))
+      .agg(count(lit(1)).as("degree"))
+      .select(
+        col("id"),
+        lit("entity").as("label"),
+        map(lit("degree"), col("degree").cast("string")).as("props"),
+        col(IcebergishTable.PartCol))
+  }
+
+  /** Checkpointed vertex write straight from the (already canonical) edge
+    * table — the fused path used by `Pipeline.build`.
+    */
+  def writeVerticesBucketed(
+      triples: DataFrame,
+      table: String,
+      numParts: Int,
+      ckptPath: String,
+      runId: String,
+      stage: String,
+      groupSize: Int = 64,
+      inputTag: String = "static"
+  ): WriteStats =
+    writeGrouped(triples.sparkSession, table, "id", numParts, ckptPath,
+      runId, stage, groupSize, inputTag) { group =>
+      verticesBucketedPlan(triples, numParts, group.size * 2, Some(group))
+    }
 }

@@ -120,21 +120,34 @@ object TripleExtract {
       .as[Triple]
   }
 
-  /** Canonicalize subj/obj through a (id → component) mapping (broadcast —
-    * the mapping is dictionary-derived, hence broadcast-sized).
+  /** Canonicalize subj/obj through a (id → component) mapping.
+    *
+    * `assumeSmall = true` (default) pins a broadcast join — right whenever
+    * the map is dictionary-derived. Pass `false` for a component map from
+    * DISCOVERED entities that may be driver/broadcast-hostile: the joins
+    * then plan as shuffle joins (AQE still converts back to broadcast at
+    * runtime if the map turns out small).
+    *
+    * `dedup = false` skips the final duplicate elimination for callers that
+    * dedup downstream anyway (the bucketed writer's in-shuffle dedup) —
+    * avoids paying the same shuffle twice.
     */
-  def canonicalize(ts: Dataset[Triple], canon: DataFrame): Dataset[Triple] = {
+  def canonicalize(ts: Dataset[Triple], canon: DataFrame,
+                   assumeSmall: Boolean = true,
+                   dedup: Boolean = true): Dataset[Triple] = {
     val spark = ts.sparkSession
     import spark.implicits._
-    val m = canon.select($"id", $"component")
-    ts.join(broadcast(m.toDF("subj", "subj_c")), Seq("subj"), "left")
-      .join(broadcast(m.toDF("obj", "obj_c")), Seq("obj"), "left")
+    val m0 = canon.select($"id", $"component")
+    def side(df: DataFrame): DataFrame = if (assumeSmall) broadcast(df) else df
+    val joined = ts
+      .join(side(m0.toDF("subj", "subj_c")), Seq("subj"), "left")
+      .join(side(m0.toDF("obj", "obj_c")), Seq("obj"), "left")
       .select(
         coalesce($"subj_c", $"subj").as("subj"),
         $"pred",
         coalesce($"obj_c", $"obj").as("obj"),
         $"url", $"conf")
-      .dropDuplicates("subj", "pred", "obj", "url")
+    (if (dedup) joined.dropDuplicates("subj", "pred", "obj", "url") else joined)
       .as[Triple]
   }
 }

@@ -101,6 +101,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("fused vertex plan uses exactly ONE exchange and matches vertices()") {
+    import spark.implicits._
+    val triples = spark.range(0, 2000)
+      .select(concat(lit("s"), col("id") % 80).as("subj"),
+        lit("p").as("pred"), concat(lit("o"), col("id") % 40).as("obj"),
+        concat(lit("u"), col("id")).as("url"), lit(1.0).as("conf"))
+    val fused = graft.materialize.GraphOut.verticesBucketedPlan(triples, 8, 16)
+    val plan = fused.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+    // Result equivalence with the reference two-exchange operator.
+    val got = fused.select(col("id"), col("props")("degree").cast("long"))
+      .as[(String, Long)].collect().toSet
+    val want = graft.materialize.GraphOut.vertices(triples)
+      .select(col("id"), col("props")("degree").cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("bucketed table write produces one file set per bucket (no small-file explosion)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-files").toString

@@ -106,6 +106,49 @@ class ResumeSafetySpec extends SparkSpec {
     assert(IcebergishTable.currentSnapshot(s"$dir/pages") == snapBefore)
   }
 
+  test("resume verifies acked fingerprints: a tampered bucket recomputes") {
+    import spark.implicits._
+    val numParts = 4
+    val df = (1 to 40).map(i => Triple(s"E$i", "p", s"F$i", s"u$i", 1.0)).toDF
+    val dir = tmpDir("graft-tamper")
+    GraphOut.writeBucketedDedup(df, s"$dir/edges", "subj", numParts,
+      Seq("subj", "pred", "obj", "url"), s"$dir/ckpt", "r1", "edges",
+      inputTag = "snap-0")
+    val full = IcebergishTable.read(spark, s"$dir/edges")
+      .select("subj").as[String].collect().toSet
+
+    // Tamper: wipe one acked bucket's data files behind the checkpoint's back.
+    val victim = bucketOf("E1", numParts)
+    IcebergishTable.deletePartitionDirs(s"$dir/edges", Seq(victim))
+    // Same runId/stage/inputTag: without verification this would full-skip.
+    val resumed = GraphOut.writeBucketedDedup(df, s"$dir/edges", "subj",
+      numParts, Seq("subj", "pred", "obj", "url"), s"$dir/ckpt", "r1",
+      "edges", inputTag = "snap-0")
+    assert(resumed.partsWritten == Seq(victim),
+      s"expected only bucket $victim to recompute: $resumed")
+    val got = IcebergishTable.read(spark, s"$dir/edges")
+      .select("subj").as[String].collect().toSet
+    assert(got == full, "tampered bucket was not restored")
+  }
+
+  test("canon above the driver gate: join-canonicalize build equals collect-path build") {
+    import spark.implicits._
+    def edges(workDir: String): Set[(String, String, String, String)] =
+      IcebergishTable.read(spark, s"$workDir/edges")
+        .select("subj", "pred", "obj", "url")
+        .as[(String, String, String, String)].collect().toSet
+    val d1 = tmpDir("graft-ccgate-collect")
+    Pipeline.build(spark, PipelineConfig(seed = 9L, nPages = 200L,
+      partitions = 4, outputBuckets = 8, workDir = d1, runId = "a"))
+    val d2 = tmpDir("graft-ccgate-join")
+    // Gate at 0 edges: forces distributed CC + join canonicalization —
+    // the path a discovered-entity (driver-hostile) sameAs graph takes.
+    Pipeline.build(spark, PipelineConfig(seed = 9L, nPages = 200L,
+      partitions = 4, outputBuckets = 8, workDir = d2, runId = "b",
+      ccLocalThreshold = 0L))
+    assert(edges(d1) == edges(d2))
+  }
+
   test("numeric entities above the BMP decode to surrogate pairs, lone surrogates pass through") {
     val g = graft.extract.HtmlText.extract(
       "<p>a &#128512; b</p>".getBytes(StandardCharsets.UTF_8))
