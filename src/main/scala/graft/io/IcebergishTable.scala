@@ -35,6 +35,9 @@ object IcebergishTable {
 
   private def dir(table: String): Path = Paths.get(table)
 
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   def currentSnapshot(table: String): Int = {
     val v = dir(table).resolve("VERSION")
     if (Files.exists(v)) new String(Files.readAllBytes(v), StandardCharsets.UTF_8).trim.toInt
@@ -52,15 +55,22 @@ object IcebergishTable {
   }
 
   private def commit(table: String, snapshot: Int, schemaJson: String,
-                     parts: Seq[Int], rows: Long): Unit = {
+                     parts: Seq[Int], rows: Long,
+                     bucketKey: Option[(String, Int)] = None): Unit = {
     val d = dir(table)
     Files.createDirectories(d)
     // Snapshot manifest records the exact file list — Iceberg-style
     // time travel: readSnapshot(n) sees precisely snapshot n's files.
     val files = listDataFiles(table)
       .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    // bucket_key/buckets record the partition spec (hash-bucket transform):
+    // the DSv2 catalog reports it to Catalyst so bucket-key joins between
+    // co-bucketed tables plan storage-partitioned (zero Exchange).
+    val bucketMeta = bucketKey
+      .map { case (k, n) => s""""bucket_key":"${esc(k)}","buckets":$n,""" }
+      .getOrElse("")
     val manifest =
-      s"""{"snapshot":$snapshot,"rows":$rows,"partitions":[${parts.sorted.mkString(",")}],
+      s"""{"snapshot":$snapshot,"rows":$rows,$bucketMeta"partitions":[${parts.sorted.mkString(",")}],
          |"files":[${files.mkString(",")}],
          |"schema":$schemaJson}""".stripMargin.replace("\n", "")
     Files.write(d.resolve(s"snap-$snapshot.json"),
@@ -89,14 +99,17 @@ object IcebergishTable {
       .parquet(dir(table).resolve("data").toString)
     val rows = 0L // row count recorded by the checkpoint layer, not here
     commit(table, currentSnapshot(table) + 1,
-      withPart.schema.json, 0 until numParts, rows)
+      withPart.schema.json, 0 until numParts, rows,
+      bucketKey = Some((keyCol, numParts)))
   }
 
   /** Write a DataFrame that is ALREADY hash-partitioned on `PartCol` (each
     * task holds exactly one bucket): dynamic partition overwrite with no
-    * extra exchange — the single-shuffle fast path's sink.
+    * extra exchange — the single-shuffle fast path's sink. `keyCol` records
+    * the bucket spec in the manifest (the caller bucketed on it upstream).
     */
-  def writePrePartitioned(df: DataFrame, table: String, numParts: Int): Unit = {
+  def writePrePartitioned(df: DataFrame, table: String, numParts: Int,
+                          keyCol: String = ""): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -112,7 +125,8 @@ object IcebergishTable {
       }
     }
     commit(table, currentSnapshot(table) + 1, df.schema.json,
-      0 until numParts, 0L)
+      0 until numParts, 0L,
+      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None)
   }
 
   /** Overwrite only the listed partitions (idempotent resume unit). */
@@ -137,7 +151,29 @@ object IcebergishTable {
       }
     }
     commit(table, currentSnapshot(table) + 1, withPart.schema.json,
-      0 until numParts, 0L)
+      0 until numParts, 0L, bucketKey = Some((keyCol, numParts)))
+  }
+
+  /** Parsed current-snapshot manifest metadata for the DSv2 catalog:
+    * (schema json, bucket key, bucket count). Tables written before bucket
+    * metadata existed return None for the spec (reported unpartitioned).
+    */
+  def manifestMeta(table: String): (String, Option[(String, Int)]) = {
+    val snap = currentSnapshot(table)
+    require(snap >= 0, s"not an Icebergish table: $table")
+    val json = new String(
+      Files.readAllBytes(dir(table).resolve(s"snap-$snap.json")),
+      StandardCharsets.UTF_8)
+    // "schema": is always the final manifest field (see commit above).
+    val schemaIdx = json.indexOf("\"schema\":")
+    val schemaJson = json.substring(schemaIdx + "\"schema\":".length,
+      json.length - 1)
+    val spec = for {
+      k <- """"bucket_key":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      n <- """"buckets":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+    } yield (k, n)
+    (schemaJson, spec)
   }
 
   /** Remove the data directories of the given buckets. Dynamic partition

@@ -79,7 +79,7 @@ object GraphOut {
       // skips buckets that receive zero rows from the new input, and the
       // read-back lineage below would otherwise count stale rows as current.
       IcebergishTable.deletePartitionDirs(table, group)
-      IcebergishTable.writePrePartitioned(deduped, table, numParts)
+      IcebergishTable.writePrePartitioned(deduped, table, numParts, keyCol)
       val wallMs = (System.nanoTime() - t0) / 1000000L
       // Lineage from the written files: prune to (part, key) columns only.
       // (Correct because the group's dirs were cleared above — the read-back

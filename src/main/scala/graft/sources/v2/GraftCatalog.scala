@@ -1,0 +1,146 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 catalog over a directory of [[graft.io.IcebergishTable]]s.
+  *
+  * The reference pushes projections into its *own* source protocol
+  * (/root/reference/src/graph_loader.rs:978-1026) and plans scans against
+  * an explicit shard map (/root/reference/src/sharding.rs:38-46). This
+  * catalog is the Spark-native equivalent: it exposes each table's
+  * hash-bucket layout to Catalyst as a `bucket(n, key)` transform, so a
+  * join between co-bucketed tables (edges⋈vertices on the bucket key)
+  * plans STORAGE-PARTITIONED — zero Exchange — and column pruning /
+  * filter pushdown reach the files through the V2 pushdown interfaces
+  * rather than incidentally through the parquet reader.
+  *
+  * It is also a [[FunctionCatalog]]: Catalyst can only resolve the bucket
+  * transform into a comparable partition expression when the owning catalog
+  * serves the transform's function (V2ExpressionUtils resolves transforms
+  * via the relation's function catalog).
+  *
+  * Usage:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/to/tables")
+  *   spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  *   spark.table("graft.edges").join(spark.table("graft.vertices"), ...)
+  * }}}
+  */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"spark.sql.catalog.$name.warehouse must point at a table directory")
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name())).mkString("/")
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (!graft.io.IcebergishTable.exists(path))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new GraftTable(ident.toString, path)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    graft.io.IcebergishTable.exists(tablePath(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val root = java.nio.file.Paths.get(
+      (warehouse +: namespace.toSeq).mkString("/"))
+    if (!java.nio.file.Files.isDirectory(root)) Array.empty
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[Identifier]
+      val s = java.nio.file.Files.list(root)
+      try s.forEach { p =>
+        if (graft.io.IcebergishTable.exists(p.toString))
+          out += Identifier.of(namespace, p.getFileName.toString)
+      } finally s.close()
+      out.toArray
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created by IcebergishTable.write")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException("read-only catalog")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("read-only catalog")
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("read-only catalog")
+
+  // ---- FunctionCatalog ----------------------------------------------------
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    ident.name() match {
+      case "bucket" => GraftBucketFunction
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident)
+    }
+}
+
+/** The bucket transform's function: pmod(xxhash64(key), n) — EXACTLY
+  * [[graft.io.IcebergishTable.partExpr]], so the value Catalyst would
+  * compute for a row agrees with the directory the writer placed it in.
+  */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): pmod(xxhash64(key), n) — IcebergishTable's layout"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      inputType.fields(1).dataType == StringType,
+      s"bucket expects (int, string), got $inputType")
+    GraftBucketBound
+  }
+}
+
+object GraftBucketBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  // Canonical identity drives storage-partitioned-join compatibility: two
+  // scans whose transforms share this name + bucket count are co-partitioned.
+  override def canonicalName(): String = "graft.bucket.xxhash64"
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val key = input.getUTF8String(1)
+    // Spark's xxhash64 over a string column: XXH64(bytes, seed = 42).
+    val h = XxHash64Function.hash(key, StringType, 42L)
+    (((h % n) + n) % n).toInt
+  }
+}

@@ -1,0 +1,223 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetPartitionReaderFactory, ParquetScan}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
+import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.IcebergishTable
+
+/** One Icebergish table exposed through DataSource V2 (see [[GraftCatalog]]).
+  *
+  * - Schema comes from the current snapshot manifest, not file listing.
+  * - `partitioning()` reports the writer's hash-bucket layout as a
+  *   `bucket(n, key)` transform → storage-partitioned joins.
+  * - Scans prune columns (`SupportsPushDownRequiredColumns`), prune buckets
+  *   from part-column predicates, and push data filters into the parquet
+  *   reader (row-group stats pruning).
+  */
+final class GraftTable(ident: String, path: String)
+    extends Table with SupportsRead {
+
+  private val (schemaJson, bucketSpec) = IcebergishTable.manifestMeta(path)
+
+  /** Full table schema (data columns + the part column, as written). */
+  private val tableSchema: StructType =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  private val dataSchema: StructType =
+    StructType(tableSchema.filterNot(_.name == IcebergishTable.PartCol))
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def partitioning(): Array[Transform] = bucketSpec match {
+    case Some((key, n)) => Array(Expressions.bucket(n, key))
+    case None => Array.empty
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, tableSchema, dataSchema, bucketSpec)
+}
+
+final class GraftScanBuilder(path: String, tableSchema: StructType,
+                             dataSchema: StructType,
+                             bucketSpec: Option[(String, Int)])
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = tableSchema
+  private var dataFilters: Array[Filter] = Array.empty
+  private var prunedBuckets: Option[Set[Int]] = None
+
+  override def pruneColumns(required: StructType): Unit = {
+    // Preserve table column order (parquet factory appends partition cols
+    // last); `required` may arrive in arbitrary order.
+    val names = required.fieldNames.toSet
+    requiredSchema = StructType(tableSchema.filter(f => names.contains(f.name)))
+  }
+
+  /** Bucket pruning from part-column predicates is EXACT (directory layout),
+    * so those filters are fully consumed; data filters go to the parquet
+    * reader for row-group pruning but stay residual (stats pruning is
+    * best-effort).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (partFilters, rest) = filters.partition {
+      case EqualTo(c, _) => c == IcebergishTable.PartCol
+      case EqualNullSafe(c, _) => c == IcebergishTable.PartCol
+      case In(c, _) => c == IcebergishTable.PartCol
+      case _ => false
+    }
+    if (partFilters.nonEmpty) {
+      val keep = partFilters.map {
+        case EqualTo(_, v: Int) => Set(v)
+        case EqualNullSafe(_, v: Int) => Set(v)
+        case In(_, vs) => vs.collect { case v: Int => v }.toSet
+        case _ => Set.empty[Int]
+      }.reduce(_ intersect _)
+      prunedBuckets = Some(keep)
+    }
+    dataFilters = rest
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = dataFilters
+
+  override def build(): Scan =
+    new GraftScan(path, dataSchema, requiredSchema, bucketSpec,
+      prunedBuckets, dataFilters)
+}
+
+/** A bucket's worth of files, keyed for storage-partitioned joins. */
+final case class GraftBucketPartition(bucket: Int,
+                                      files: Array[PartitionedFile])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+final class GraftScan(path: String, dataSchema: StructType,
+                      requiredSchema: StructType,
+                      bucketSpec: Option[(String, Int)],
+                      prunedBuckets: Option[Set[Int]],
+                      dataFilters: Array[Filter])
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  private val needsPart =
+    requiredSchema.fieldNames.contains(IcebergishTable.PartCol)
+  private val readDataSchema: StructType =
+    StructType(requiredSchema.filterNot(_.name == IcebergishTable.PartCol))
+  private val partitionSchema: StructType =
+    if (needsPart) StructType(Seq(StructField(IcebergishTable.PartCol,
+      IntegerType, nullable = false)))
+    else new StructType()
+
+  override def readSchema(): StructType =
+    StructType(readDataSchema ++ partitionSchema)
+
+  override def toBatch: Batch = this
+
+  /** One InputPartition per (non-pruned, non-empty) bucket directory. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dataDir = java.nio.file.Paths.get(path, "data")
+    if (!java.nio.file.Files.isDirectory(dataDir)) return Array.empty
+    val bucketDirs = {
+      val s = java.nio.file.Files.list(dataDir)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(
+          IcebergishTable.PartCol + "="))
+        .toSeq
+      finally s.close()
+    }
+    bucketDirs
+      .map(d => d.getFileName.toString
+        .stripPrefix(IcebergishTable.PartCol + "=").toInt -> d)
+      .filter { case (b, _) => prunedBuckets.forall(_.contains(b)) }
+      .sortBy(_._1)
+      .map { case (b, d) =>
+        val partValues: InternalRow =
+          if (needsPart) new GenericInternalRow(Array[Any](b))
+          else InternalRow.empty
+        val s = java.nio.file.Files.list(d)
+        val files = try s.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .toArray.sortBy(_.toString)
+          .map { f =>
+            val size = java.nio.file.Files.size(f)
+            PartitionedFile(partValues,
+              SparkPath.fromPathString(f.toAbsolutePath.toString),
+              0L, size, Array.empty,
+              java.nio.file.Files.getLastModifiedTime(f).toMillis, size)
+          }
+        finally s.close()
+        GraftBucketPartition(b, files): InputPartition
+      }
+      .toArray
+  }
+
+  override def outputPartitioning(): Partitioning = bucketSpec match {
+    case Some((key, n)) =>
+      new KeyGroupedPartitioning(Array(Expressions.bucket(n, key)),
+        planInputPartitions().length)
+    case None => new UnknownPartitioning(planInputPartitions().length)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Delegate to Spark's own ParquetScan for the reader factory: it wires
+    // the full hadoopConf contract (ReadSupport class, requested-schema
+    // JSON, rebase modes, …) that the factory's readers expect. The file
+    // index is empty on purpose — planning stays ours (bucket-grouped
+    // partitions above); only the per-file reading machinery is borrowed.
+    val session = SparkSession.active
+    val hadoopConf = session.sessionState.newHadoopConf()
+    val fileIndex = new InMemoryFileIndex(session, Seq.empty, Map.empty, None)
+    val inner = ParquetScan(session, hadoopConf, fileIndex, dataSchema,
+      readDataSchema, partitionSchema, dataFilters,
+      CaseInsensitiveStringMap.empty())
+    GraftReaderFactory(inner.createReaderFactory()
+      .asInstanceOf[ParquetPartitionReaderFactory])
+  }
+
+  override def description(): String =
+    s"GraftScan(path=$path, buckets=${prunedBuckets.map(_.toSeq.sorted)
+      .getOrElse("all")}, pushed=${dataFilters.mkString(",")})"
+}
+
+/** Adapts [[GraftBucketPartition]] to Spark's parquet reader factory (which
+  * expects [[FilePartition]]s).
+  */
+final case class GraftReaderFactory(inner: ParquetPartitionReaderFactory)
+    extends PartitionReaderFactory {
+
+  private def asFilePartition(p: InputPartition): FilePartition = p match {
+    case GraftBucketPartition(b, files) => FilePartition(b, files)
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    inner.createReader(asFilePartition(p))
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(asFilePartition(p))
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(asFilePartition(p))
+}
