@@ -198,7 +198,10 @@ object Bench {
       "q_agg_group", "q_join_broadcast", "q_join_sortmerge", "q_window_topk",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
       "ann_brute_topk", "text_quality", "text_fingerprint",
-      "kg_triples", "kg_edges")
+      "kg_triples", "kg_edges",
+      // Planted 50%-hub skew: salted vs plain on identical data — the
+      // artifact records the skew-handling cost side by side.
+      "q_skew_plain", "q_skew_salted")
     val queries = SparkEntry.queries
     val qTimes = headline.flatMap { name =>
       queries.get(name).map { fn =>

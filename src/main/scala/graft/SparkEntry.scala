@@ -171,6 +171,28 @@ object SparkEntry {
     "kg_catalog" -> ((s, _) =>
       // S3/A1/A2: catalog walk — explode edge definitions, distinct, sort.
       ops.GraphCatalog.vertexCollections(ops.GraphCatalog.fixtureDefinitions(s))),
+    "kg_catalog_custom" -> ((s, dir) => {
+      // Generalized catalog: edge definitions DERIVED from a data table
+      // (non-fixture) — one edge collection per source, from = the langs
+      // present in that source, to = a doc collection. Proves the catalog
+      // walk works over arbitrary definition DataFrames.
+      val defs = t(s, dir, "documents")
+        .groupBy(col("source").as("collection"))
+        .agg(collect_set(col("lang")).as("from"),
+          array(lit("doc")).as("to"))
+      ops.GraphCatalog.vertexCollections(defs)
+    }),
+    "q_open_schema" -> ((s, dir) => {
+      // All-attributes mode (reference load_all_vertex_attributes,
+      // /root/reference/src/config.rs:88-95): fold columns into a props
+      // map, then project typed values back out — round-trip must equal
+      // the direct projection.
+      val open = ops.OpenSchema.allAttributes(t(s, dir, "documents"), "doc_id")
+      open.select(col("doc_id"),
+          ops.OpenSchema.prop("lang"),
+          ops.OpenSchema.prop("n_chars", "long"))
+        .where(col("lang") === "en")
+    }),
     "dedup_minhash_sketch" -> ((s, dir) => {
       // Custom Aggregator: per-source corpus minhash sketch (element-wise
       // min is the exact sketch of the shingle-set union), then pairwise
@@ -206,6 +228,8 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
     }),
+    "q_skew_salted" -> ((s, dir) => skewJoin(s, salted = true)),
+    "q_skew_plain" -> ((s, dir) => skewJoin(s, salted = false)),
     "q_stream_window" -> ((s, dir) =>
       // True Structured Streaming run: file-source readStream + watermark
       // + windowed agg + memory sink; equals the batch SQL oracle.
@@ -231,6 +255,14 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       ops.Ann.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10)),
+    "ann_lsh_indexed" -> ((s, dir) => {
+      // Disk-partitioned LSH index probe (the 10^9-vector scale path):
+      // partition-pruned scan over bucket=<b> dirs; equals ann_lsh_topk.
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-annidx").toString + "/index"
+      ops.Ann.writeLshIndex(t(s, dir, "embeddings"), "vec_id", "embedding", path)
+      ops.Ann.lshTopKIndexed(s, path, queryId = 0L, k = 10)
+    }),
     "embed_lsh_pairs" -> ((s, dir) =>
       ops.Ann.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         minCosine = 0.4)),
@@ -280,6 +312,26 @@ object SparkEntry {
       graft.materialize.GraphOut.vertices(entry(s))
         .select(col("id"), col("label"),
           col("props")("degree").cast("long").as("degree"))),
+    "kg_spj" -> ((s, _) => {
+      // Storage-partitioned join through the DSv2 catalog: build a small
+      // KG, register the workDir as a catalog warehouse, join edges to
+      // vertices on the bucket key (plans with zero exchanges — asserted
+      // in GraftCatalogSpec; here the driver checks the result shape).
+      val dir = java.nio.file.Files.createTempDirectory("graft-spj").toString
+      Pipeline.build(s, PipelineConfig(seed = 42L, nPages = 200L,
+        partitions = 4, outputBuckets = 8, workDir = dir, runId = "spj"))
+      s.conf.set("spark.sql.catalog.graft_q",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_q.warehouse", dir)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val e = s.table("graft_q.edges")
+      val v = s.table("graft_q.vertices")
+      e.join(v, e("subj") === v("id"))
+        .groupBy(v("id").as("id"))
+        .agg(count(lit(1)).as("out_triples"),
+          first(v("props")("degree").cast("long")).as("degree"))
+        .orderBy(col("id"))
+    }),
     "kg_checkpoint" -> ((s, _) => {
       // Run a small checkpointed build and return its lineage table.
       import s.implicits._
@@ -292,7 +344,39 @@ object SparkEntry {
     })
   )
 
+  /** Pathological-hub join (north_rule skew case): 50% of the big side is
+    * ONE key. Deterministic synthetic input expressible in both engines
+    * (range + arithmetic), so the salted plan is oracle-verified against
+    * DuckDB, not just against the unsalted plan.
+    */
+  private def skewJoin(s: SparkSession, salted: Boolean): DataFrame = {
+    import s.implicits._
+    val big = s.range(0, 200000L).select(
+      when(col("id") % 2 === 0, lit("HUB"))
+        .otherwise(concat(lit("k"), col("id") % 100)).as("key"),
+      col("id").as("v"))
+    val dim = s.range(0, 100L)
+      .select(concat(lit("k"), col("id")).as("key"), col("id").as("grp"))
+      .union(Seq(("HUB", -1L)).toDF("key", "grp"))
+    val joined =
+      if (salted) ops.SaltedJoin.inner(big, dim, "key", salt = 16)
+      else big.join(dim, "key")
+    joined.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+  }
+
+  private val skewOracle: String =
+    "WITH big AS (SELECT CASE WHEN i % 2 = 0 THEN 'HUB' " +
+      "ELSE 'k' || CAST(i % 100 AS VARCHAR) END AS key, i AS v " +
+      "FROM range(200000) t(i)), " +
+      "dim AS (SELECT 'k' || CAST(j AS VARCHAR) AS key, j AS grp FROM range(100) t(j) " +
+      "UNION ALL SELECT 'HUB', -1) " +
+      "SELECT grp, count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v " +
+      "FROM big JOIN dim USING (key) GROUP BY grp"
+
   def oracleSql: Map[String, String] = Map(
+    "q_skew_salted" -> skewOracle,
+    "q_skew_plain" -> skewOracle,
     "s1_scan_project" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
     "p4_collection_name" ->
@@ -413,7 +497,41 @@ object SparkEntry {
         "round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio " +
         "FROM documents)"),
     "text_fingerprint" ->
-      "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+      "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    "kg_catalog_custom" ->
+      // Derived (non-fixture) definitions: vertex collections = langs per
+      // source ∪ {'doc'}, flattened, distinct, sorted — the same walk the
+      // Spark catalog operator performs over the definitions DataFrame.
+      ("SELECT DISTINCT vertex_collection FROM (" +
+        "SELECT DISTINCT lang AS vertex_collection FROM documents " +
+        "UNION ALL SELECT 'doc') ORDER BY vertex_collection"),
+    "q_open_schema" ->
+      // Round-trip through the props map must equal the direct projection.
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+    "text_langid" -> {
+      // Sequential-argmax language ID in SQL: score per profile = stopword
+      // hit ratio (RAW double — same single IEEE division both engines);
+      // winner = first profile (de,en,es,fr,it order) reaching the max;
+      // max <= 0 → 'und'.
+      def profile(words: Seq[String]): String =
+        words.map(w => s"'$w'").mkString("(", ", ", ")")
+      val de = profile(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"))
+      val en = profile(Seq("the", "and", "of", "is", "not", "a", "with", "to", "in"))
+      val es = profile(Seq("el", "la", "los", "y", "es", "no", "un", "con", "que"))
+      val fr = profile(Seq("le", "la", "les", "et", "est", "pas", "un", "avec", "que"))
+      val it = profile(Seq("il", "la", "e", "non", "un", "con", "che", "per", "sono"))
+      def score(p: String): String =
+        s"CASE WHEN len(w) = 0 THEN 0.0 ELSE " +
+          s"len(list_filter(w, x -> x IN $p))::DOUBLE / len(w) END"
+      "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), " +
+        s"s AS (SELECT doc_id, ${score(de)} AS s_de, ${score(en)} AS s_en, " +
+        s"${score(es)} AS s_es, ${score(fr)} AS s_fr, ${score(it)} AS s_it FROM t), " +
+        "m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS best FROM s) " +
+        "SELECT doc_id AS id, CASE WHEN best <= 0 THEN 'und' " +
+        "WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en' " +
+        "WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' " +
+        "ELSE 'it' END AS lang_pred, best AS lang_score FROM m"
+    }
   )
 
   /** Brute-force 3-gram-shingle jaccard in DuckDB — oracle for BOTH the

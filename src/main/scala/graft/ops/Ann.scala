@@ -51,6 +51,18 @@ object Ann {
     Array.tabulate(nBits)(b =>
       Array.tabulate(dim)(d => Rng.nextDouble(seed, b.toLong, d.toLong) * 2 - 1))
 
+  /** Executor-side plane cache: the counter-based RNG makes planes a pure
+    * function of (dim, nBits, seed), so every executor derives IDENTICAL
+    * planes from the row's own vector length — no `head()` job to learn the
+    * dimension, nothing broadcast.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+
+  private[ops] def planesFor(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] =
+    planeCache.computeIfAbsent((dim, nBits, seed),
+      _ => hyperplanes(dim, nBits, seed))
+
   /** Sign-LSH bucket id of a vector. */
   private[ops] def bucketOf(v: Array[Double], planes: Array[Array[Double]]): Int = {
     var bucket = 0
@@ -73,16 +85,22 @@ object Ann {
     val spark = df.sparkSession
     import spark.implicits._
     val v = normalized(df, idCol, vecCol).as[(Long, Seq[Double])]
-    val dim = v.head()._2.length
-    val planesB = spark.sparkContext.broadcast(hyperplanes(dim, nBits, seed))
     v.map { case (id, vec) =>
-      (id, vec, Ann.bucketOf(vec.toArray, planesB.value))
+      val arr = vec.toArray
+      (id, vec, Ann.bucketOf(arr, Ann.planesFor(arr.length, nBits, seed)))
     }.toDF("id", "v", "bucket")
   }
 
   /** ANN top-k for one query id: probe the query's bucket plus all 1-bit
     * neighbor buckets (multiprobe), rank by exact cosine within the probe
     * set. Returns (vec_id, cosine).
+    *
+    * NOTE on scale: this in-memory variant filters a CACHED index — the
+    * probe is a predicate over the full set, cheap per-query once cached
+    * but not storage-pruned. The scale path is [[writeLshIndex]] +
+    * [[lshTopKIndexed]], where the index is disk-partitioned by bucket and
+    * the probe plans a partition-pruned scan (only the probed buckets'
+    * files are read).
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nBits: Int = 10,
@@ -105,6 +123,40 @@ object Ann {
       .limit(k)
   }
 
+  /** Persist the LSH index disk-partitioned by bucket: at 10^9 vectors the
+    * probe becomes a PARTITION-PRUNED scan (Spark's partition discovery on
+    * `bucket=<b>` directories prunes everything outside the probe set
+    * before any file is opened).
+    */
+  def writeLshIndex(df: DataFrame, idCol: String, vecCol: String,
+                    path: String, nBits: Int = 10, seed: Long = 4242L): Unit =
+    lshBuckets(df, idCol, vecCol, nBits, seed)
+      .repartition(col("bucket")) // one writer wave per bucket, no tiny files
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Probe a [[writeLshIndex]] index: scans ONLY the probed buckets'
+    * partitions (the 1-bit multiprobe neighborhood), ranks by exact cosine.
+    * Same results as [[lshTopK]] on the same parameters.
+    */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queryId: Long, k: Int, nBits: Int = 10): DataFrame = {
+    val index = spark.read.parquet(path)
+    val qRow = index.where(col("id") === queryId)
+      .select(col("v"), col("bucket")).head()
+    val qBucket = qRow.getInt(1)
+    val probes = qBucket +: Array.tabulate(nBits)(b => qBucket ^ (1 << b))
+    val q = broadcast(index.where(col("id") === queryId)
+      .select(col("v").as("qv")))
+    index
+      .where(col("bucket").isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
+      .where(col("id") =!= queryId)
+      .crossJoin(q)
+      .withColumn("cosine", round(dot(col("v"), col("qv")), 4))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .select(col("id").as("vec_id"), col("cosine"))
+      .limit(k)
+  }
+
   /** Embedding near-dup pairs at scale: vectors meeting `minCosine` tend
     * to share sign-LSH buckets; join within buckets only, verify by exact
     * cosine. Complements [[Dedup.embeddingCosinePairs]] (brute force).
@@ -115,14 +167,10 @@ object Ann {
     val spark = df.sparkSession
     import spark.implicits._
     val v = normalized(df, idCol, vecCol).as[(Long, Seq[Double])]
-    val dim = v.head()._2.length
-    val allPlanes = Array.tabulate(nTables)(t =>
-      hyperplanes(dim, nBits, seed + t))
-    val planesB = spark.sparkContext.broadcast(allPlanes)
     val buckets = v.flatMap { case (id, vec) =>
       val arr = vec.toArray
-      planesB.value.zipWithIndex.map { case (planes, t) =>
-        (id, vec, t, Ann.bucketOf(arr, planes))
+      (0 until nTables).map { t =>
+        (id, vec, t, Ann.bucketOf(arr, Ann.planesFor(arr.length, nBits, seed + t)))
       }
     }.toDF("id", "v", "table", "bucket")
     val cand = buckets.select(col("id").as("ia"), col("v").as("va"),

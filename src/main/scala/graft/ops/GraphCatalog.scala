@@ -43,4 +43,40 @@ object GraphCatalog {
     defs.select(col("collection").as("edge_collection"))
       .distinct()
       .orderBy(col("edge_collection"))
+
+  /** Collection lists resolved from a catalog, driver-side — what a caller
+    * feeds into a pipeline/scan config (the reference builds its load plan
+    * from exactly these lists, graph_loader.rs:328-343).
+    */
+  final case class GraphSpec(graph: String, edgeCollections: Seq[String],
+                             vertexCollections: Seq[String])
+
+  /** Named-graph mode (the reference's `new_named`,
+    * /root/reference/src/graph_loader.rs:328-352): look the graph up in a
+    * STORED catalog table with columns (graph, collection, from, to) and
+    * derive its collection lists. Works over any user-supplied catalog
+    * DataFrame — nothing is hard-coded.
+    */
+  def named(catalog: DataFrame, graphName: String): GraphSpec = {
+    val defs = catalog.where(col("graph") === graphName)
+      .select(col("collection"), col("from"), col("to"))
+    require(!defs.isEmpty, s"no such graph in catalog: $graphName")
+    fromDefinitions(graphName, defs)
+  }
+
+  /** Custom-graph mode (the reference's `new_custom`,
+    * graph_loader.rs:354-375): the caller supplies the edge definitions
+    * directly; collection lists are derived, sorted, deduplicated.
+    */
+  def custom(defs: DataFrame, name: String = "custom"): GraphSpec =
+    fromDefinitions(name, defs)
+
+  private def fromDefinitions(name: String, defs: DataFrame): GraphSpec = {
+    val spark = defs.sparkSession
+    import spark.implicits._
+    GraphSpec(
+      name,
+      edgeCollections(defs).as[String].collect().toSeq,
+      vertexCollections(defs).as[String].collect().toSeq)
+  }
 }

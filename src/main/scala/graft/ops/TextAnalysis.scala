@@ -75,7 +75,12 @@ object TextAnalysis {
     "it" -> Set("il", "la", "e", "non", "un", "con", "che", "per", "sono")
   )
 
-  /** Pure scoring function (unit-testable). Returns (lang, score). */
+  /** Pure scoring function (unit-testable). Returns (lang, score).
+    * The score is the RAW hit ratio (no rounding): both this and the DuckDB
+    * oracle compute hits/tokens as one IEEE division, so the doubles are
+    * bit-identical — a final round() would split half-way ties across
+    * engines (rint is half-even, DuckDB rounds half away from zero).
+    */
   def detectLanguage(text: String): (String, Double) = {
     val tokens = text.split(' ').filter(_.nonEmpty)
     if (tokens.isEmpty) return ("und", 0.0)
@@ -88,7 +93,7 @@ object TextAnalysis {
       val score = hits.toDouble / tokens.length
       if (score > bestScore) { bestScore = score; bestLang = lang }
     }
-    (bestLang, math.rint(bestScore * 1e4) / 1e4)
+    (bestLang, bestScore)
   }
 
   /** Distributed language-ID: narrow map over the text column. */
