@@ -42,13 +42,34 @@ object Bench {
     s
   }
 
+  /** Single-threaded pure-CPU control loop (~1 s nominal): samples the
+    * box's CURRENT effective speed. On this shared Firecracker host, steal
+    * is invisible to the guest (steal% reads 0, and thread-CPU time keeps
+    * counting while the vCPU is descheduled), so NEITHER wall clock NOR
+    * executor CPU time is noise-free. A control sampled in the same window
+    * as a measurement calibrates both: if the box ran k× slow during a
+    * level's window, the level's time AND its control inflate together,
+    * and time × (control_ref / control) cancels the window.
+    */
+  private def controlSec(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < 300000000L) { h = graft.synth.Rng.mix64(h + i); i += 1 }
+    if (h == 42L) System.err.println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Timed KG builds at a given parallelism (pages table pre-built):
     * one warmup + `reps` measured runs, min taken — the JVM occasionally
     * hits a deopt storm after session churn (uniform ~10x task slowdown,
     * no GC/JIT signal); min-of-reps measures the plan, not the storm.
+    * Returns (wall sec, triples, executor cpu sec, control sec) of the
+    * fastest rep, the control sampled around that rep's window.
     */
   private def timedBuild(cpus: Int, pagesWork: String, nPages: Long,
-                         runTag: String, reps: Int = 2): (Double, Long, Double) = {
+                         runTag: String, reps: Int = 2)
+      : (Double, Long, Double, Double) = {
     val spark = session(cpus)
     val cpuListener = new org.apache.spark.graftmetrics.TaskCpuListener
     spark.sparkContext.addSparkListener(cpuListener)
@@ -62,6 +83,7 @@ object Bench {
           workDir = Files.createTempDirectory(s"graft-warm-$i").toString,
           runId = "warm"))
       }
+      controlSec() // JIT-warm the control loop itself
       val runs = (1 to reps).map { rep =>
         // Outputs go to tmpfs: a real cluster writes to storage that
         // scales with executor count; a single box's disk does not, and
@@ -83,14 +105,16 @@ object Bench {
         Files.createSymbolicLink(
           java.nio.file.Paths.get(s"$outDir/pages"),
           java.nio.file.Paths.get(pagesWork))
+        val cBefore = controlSec()
         cpuListener.reset()
         val t0 = System.nanoTime()
         val triples = Pipeline.build(spark, cfg)
         val sec = (System.nanoTime() - t0) / 1e9
         val cpuSec = cpuListener.cpuSeconds(spark.sparkContext)
+        val cAfter = controlSec()
         // Throwaway output: free the tmpfs before the next rep.
         graft.io.IcebergishTable.drop(outDir)
-        (sec, triples, cpuSec)
+        (sec, triples, cpuSec, math.min(cBefore, cAfter))
       }
       runs.minBy(_._1)
     } finally spark.stop()
@@ -101,7 +125,7 @@ object Bench {
     * session churn cannot pollute a level's timing.
     */
   private def timedBuildIsolated(cpus: Int, pagesWork: String, nPages: Long,
-                                 runTag: String): (Double, Long, Double) = {
+                                 runTag: String): (Double, Long, Double, Double) = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -121,7 +145,8 @@ object Bench {
       case Some(line) =>
         val parts = line.split(' ')
         (parts(1).toDouble, parts(2).toLong,
-          if (parts.length > 3) parts(3).toDouble else 0.0)
+          if (parts.length > 3) parts(3).toDouble else 0.0,
+          if (parts.length > 4) parts(4).toDouble else 0.0)
       case None =>
         System.err.println(s"[bench] child (cpus=$cpus) failed, exit=$code; " +
           "falling back to in-process measurement")
@@ -133,9 +158,9 @@ object Bench {
     if (args.length >= 5 && args(0) == "--measure") {
       // Child mode: one level, fresh JVM. Prints "MEASURE <sec> <triples>".
       val reps = if (args.length >= 6) args(5).toInt else 2
-      val (sec, triples, cpuSec) =
+      val (sec, triples, cpuSec, ctrl) =
         timedBuild(args(1).toInt, args(2), args(3).toLong, args(4), reps)
-      println(s"MEASURE $sec $triples $cpuSec")
+      println(s"MEASURE $sec $triples $cpuSec $ctrl")
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -171,26 +196,40 @@ object Bench {
     // one level share a noise window — interleaving decorrelates the
     // level-to-level ratio from it.
     val levels = Seq(cpusN, cpus4N, cpusHi)
-    val rounds = (1 to 2).map { r =>
-      levels.map(c =>
+    // Three interleaved rounds for the criterion pair, two for full width:
+    // the host's contention windows last minutes, so more interleaved
+    // samples raise the odds that every level catches a quiet window.
+    val rounds = (1 to 3).map { r =>
+      levels.filter(c => r <= 2 || c != cpusHi).map(c =>
         c -> timedBuildIsolated(c, pagesWork, nPages, s"r$r-c$c")).toMap
     }
-    def best(c: Int): (Double, Long, Double) = rounds.map(_(c)).minBy(_._1)
-    val (secN, _, cpuN) = best(cpusN)
-    val (sec4N, _, cpu4N) = best(cpus4N)
-    val (secHi, triples, cpuHi) = best(cpusHi)
+    // Global best control = the quietest window any measurement saw; each
+    // measurement is deflated by its own window's slowdown vs that best.
+    val cRef = rounds.flatMap(_.values.map(_._4)).filter(_ > 0).min
+    def calibrated(m: (Double, Long, Double, Double)): Double =
+      if (m._4 > 0) m._1 * (cRef / m._4) else m._1
+    def best(c: Int): (Double, Long, Double, Double) =
+      rounds.flatMap(_.get(c)).minBy(calibrated)
+    val mN = best(cpusN); val m4N = best(cpus4N); val mHi = best(cpusHi)
+    val (secN, _, cpuN, ctrlN) = mN
+    val (sec4N, _, cpu4N, ctrl4N) = m4N
+    val (secHi, triples, cpuHi, ctrlHi) = mHi
     val thrN = triples / secN
     val thr4N = triples / sec4N
     val thrHi = triples / secHi
     val efficiency = (thr4N / thrN) / (cpus4N.toDouble / cpusN)
     val efficiencyHi = (thrHi / thr4N) / (cpusHi.toDouble / cpus4N)
-    // Steal-immune scaling efficiency: identical work at both levels means a
-    // perfectly scaling job burns the same TOTAL executor CPU; the ratio
-    // cpu_lo/cpu_hi < 1 exposes genuine parallel overhead at the wider level
-    // (scheduler, shuffle, cache contention) while being blind to host steal
-    // that corrupts wall clock on this shared box (BASELINE.md §noise).
-    val cpuEff = if (cpu4N > 0) cpuN / cpu4N else 0.0
-    val cpuEffHi = if (cpuHi > 0) cpu4N / cpuHi else 0.0
+    // Calibrated efficiency: wall clocks normalized by each window's
+    // contemporaneous single-thread control (see controlSec) — the honest
+    // scaling number on a host whose invisible steal corrupts both wall
+    // clock AND guest thread-CPU accounting.
+    val effCal = (calibrated(mN) / calibrated(m4N)) / (cpus4N.toDouble / cpusN)
+    val effCalHi = (calibrated(m4N) / calibrated(mHi)) / (cpusHi.toDouble / cpus4N)
+    // CPU-time ratio (work inflation at the wider level), same calibration.
+    val cpuEff =
+      if (cpu4N > 0) (cpuN * cRef / ctrlN) / (cpu4N * cRef / ctrl4N) else 0.0
+    val cpuEffHi =
+      if (cpuHi > 0) (cpu4N * cRef / ctrl4N) / (cpuHi * cRef / ctrlHi) else 0.0
 
     // Headline per-query timings at full parallelism on the driver tables.
     val spark = session(cpusHi)
@@ -225,11 +264,15 @@ object Bench {
         s""""scaling":{"cpus_lo":$cpusN,"sec_lo":${f(secN)},"throughput_lo":${f(thrN)},""" +
         s""""cpus_hi":$cpus4N,"sec_hi":${f(sec4N)},"throughput_hi":${f(thr4N)},""" +
         s""""efficiency":${f(efficiency)},""" +
+        s""""efficiency_calibrated":${f(effCal)},""" +
+        s""""control_sec_lo":${f(ctrlN)},"control_sec_hi":${f(ctrl4N)},"control_sec_ref":${f(cRef)},""" +
         s""""cpu_sec_lo":${f(cpuN)},"cpu_sec_hi":${f(cpu4N)},""" +
         s""""cpu_efficiency":${f(cpuEff)},""" +
-        s""""cpu_note":"cpu_efficiency = total executor CPU at N / at 4N (same job, same input): 1.0 = zero parallel overhead; steal-immune companion to wall-clock efficiency on this noise-prone shared host",""" +
+        s""""calibration_note":"this Firecracker host's steal is invisible to the guest (steal reads 0 while a pure-CPU control loop varies up to 4x), and guest thread-CPU time keeps counting during steal — so wall AND cpu both carry window noise; each measurement window samples a single-thread splitmix control, and *_calibrated numbers deflate each level by its window's slowdown vs the best window (control_sec_ref)",""" +
         s""""full_width":{"cpus":$cpusHi,"sec":${f(secHi)},"throughput":${f(thrHi)},""" +
         s""""efficiency_vs_4n":${f(efficiencyHi)},""" +
+        s""""efficiency_vs_4n_calibrated":${f(effCalHi)},""" +
+        s""""control_sec":${f(ctrlHi)},""" +
         s""""cpu_sec":${f(cpuHi)},"cpu_efficiency_vs_4n":${f(cpuEffHi)},""" +
         s""""note":"single-box DRAM bandwidth caps string-heavy scan beyond ~8-16 threads; a 4N-executor cluster adds bandwidth per executor"}}}"""
     println(line)

@@ -207,13 +207,17 @@ object SparkEntry {
         .toDF("source", "sig")
       val sketches = sigs.groupBy(col("source"))
         .agg(ops.MinHashAgg.column(col("sig")).as("sketch"))
-        .as[(String, Array[Long])]
-      val pairs = sketches.collect()
-      val rows = for {
-        (sa, ka) <- pairs; (sb, kb) <- pairs if sa < sb
-      } yield (sa, sb,
-        math.rint(ops.MinHashAgg.estimateJaccard(ka, kb) * 1e4) / 1e4)
-      s.createDataset(rows.toSeq).toDF("src_a", "src_b", "est_jaccard")
+      // Pairwise estimates as a distributed self-join over the sketch table
+      // (one sketch per group — G² pairs is the operator's contract; at
+      // G ≫ 10³ you'd LSH-bucket the sketches first, see Dedup).
+      sketches.toDF("src_a", "ka")
+        .crossJoin(sketches.toDF("src_b", "kb"))
+        .where(col("src_a") < col("src_b"))
+        .as[(String, Array[Long], String, Array[Long])]
+        .map { case (sa, ka, sb, kb) =>
+          (sa, sb, math.rint(ops.MinHashAgg.estimateJaccard(ka, kb) * 1e4) / 1e4)
+        }
+        .toDF("src_a", "src_b", "est_jaccard")
         .orderBy(col("est_jaccard").desc, col("src_a"), col("src_b"))
     }),
     "q_join_salted" -> ((s, dir) => {
@@ -255,6 +259,13 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       ops.Ann.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10)),
+    "ann_ivf_topk" -> ((s, dir) =>
+      // IVF full-probe (nProbe == nCells) is provably identical to brute
+      // force, so the WHOLE IVF plumbing (centroid training, cell
+      // assignment, probe ranking) is oracle-checked; the pruned-probe
+      // recall is spec-asserted (OpenCatalogSpec).
+      ops.Ann.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, nCells = 8, nProbe = 8)),
     "ann_lsh_indexed" -> ((s, dir) => {
       // Disk-partitioned LSH index probe (the 10^9-vector scale path):
       // partition-pruned scan over bucket=<b> dirs; equals ann_lsh_topk.
@@ -479,6 +490,12 @@ object SparkEntry {
         "FROM embeddings a, embeddings b " +
         "WHERE a.vec_id = 0 AND b.vec_id <> 0 " +
         "ORDER BY cosine DESC, b.vec_id ASC LIMIT 10"),
+    "ann_ivf_topk" ->
+      // Full-probe IVF ≡ brute force (every cell probed) — same oracle.
+      ("SELECT b.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine " +
+        "FROM embeddings a, embeddings b " +
+        "WHERE a.vec_id = 0 AND b.vec_id <> 0 " +
+        "ORDER BY cosine DESC, b.vec_id ASC LIMIT 10"),
     "text_tokens" ->
       ("SELECT doc_id, length(text) AS n_chars, " +
         "length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens, " +
@@ -498,6 +515,20 @@ object SparkEntry {
         "FROM documents)"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    "kg_cc" -> {
+      // Connected components in portable SQL: the sameAs edge list is a
+      // pure function of the dictionary (PageSynth.sameAsPairs), embedded
+      // as VALUES; a recursive CTE computes min-reachable-id per node —
+      // exactly the star-contraction/union-find representative.
+      val values = graft.synth.PageSynth.sameAsPairs
+        .map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+      s"WITH RECURSIVE e(a, b) AS (VALUES $values), " +
+        "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
+        "nodes AS (SELECT DISTINCT a AS id FROM sym), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id) " +
+        "SELECT id, min(r) AS component FROM reach GROUP BY id"
+    },
     "kg_catalog_custom" ->
       // Derived (non-fixture) definitions: vertex collections = langs per
       // source ∪ {'doc'}, flattened, distinct, sorted — the same walk the

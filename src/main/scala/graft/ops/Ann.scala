@@ -157,6 +157,106 @@ object Ann {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) ANN: centroid-pruned probe ---------------------
+
+  private def nearestCell(vec: Array[Double],
+                          cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var s = 0.0
+      val cv = cents(c)
+      val n = math.min(cv.length, vec.length)
+      var d = 0
+      while (d < n) { s += cv(d) * vec(d); d += 1 }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def renorm(a: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) a else a.map(_ / n)
+  }
+
+  /** Deterministic spherical k-means-lite centroids: init = the nCells
+    * vectors with smallest ids (data-dependent, reproducible), then `iters`
+    * Lloyd rounds — each round is one narrow assignment pass plus a tiny
+    * nCells-key aggregation. Returns unit centroids.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int = 16, iters: Int = 3): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = normalized(df, idCol, vecCol).as[(Long, Seq[Double])]
+    var cents = v.orderBy(col("id")).limit(nCells)
+      .collect().map(_._2.toArray)
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = v
+        .map { case (_, vec) =>
+          val a = vec.toArray
+          (nearestCell(a, bc.value), (a, 1L))
+        }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .reduceGroups { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
+          val s = x._1.clone()
+          var i = 0
+          while (i < s.length && i < y._1.length) { s(i) += y._1(i); i += 1 }
+          (s, x._2 + y._2)
+        }
+        .collect()
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        sums.get(c).map { case (s, n) => renorm(s.map(_ / n)) }.getOrElse(old)
+      }
+    }
+    cents
+  }
+
+  /** IVF index: every vector assigned to its nearest centroid cell. */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+               cents: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    normalized(df, idCol, vecCol).as[(Long, Seq[Double])]
+      .map { case (id, vec) => (id, vec, nearestCell(vec.toArray, bc.value)) }
+      .toDF("id", "v", "cell")
+  }
+
+  /** IVF top-k: rank cells by centroid·query, probe the best `nProbe`
+    * cells only, exact cosine inside the probe set. `nProbe = nCells`
+    * degenerates to exact brute force (the correctness anchor).
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              k: Int, nCells: Int = 16, nProbe: Int = 4,
+              iters: Int = 3): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, nCells, iters)
+    val index = ivfIndex(df, idCol, vecCol, cents)
+    val qVec = index.where(col("id") === queryId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val probes = cents.zipWithIndex
+      .map { case (c, i) => i -> c.zip(qVec).map(p => p._1 * p._2).sum }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val q = broadcast(index.where(col("id") === queryId)
+      .select(col("v").as("qv")))
+    index
+      .where(col("cell").isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
+      .where(col("id") =!= queryId)
+      .crossJoin(q)
+      .withColumn("cosine", round(dot(col("v"), col("qv")), 4))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .select(col("id").as("vec_id"), col("cosine"))
+      .limit(k)
+  }
+
   /** Embedding near-dup pairs at scale: vectors meeting `minCosine` tend
     * to share sign-LSH buckets; join within buckets only, verify by exact
     * cosine. Complements [[Dedup.embeddingCosinePairs]] (brute force).

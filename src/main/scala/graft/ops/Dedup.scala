@@ -39,9 +39,14 @@ object Dedup {
     * → jaccard. Exact (oracle-checkable) but O(sum of bucket²); the scale
     * path is [[minhashLshPairs]].
     */
+  /** `maxDf` defaults ON at 10 000: a shingle present in >10k documents is
+    * boilerplate (navigation chrome, licenses) and only fuels the join's
+    * worst-case bucket; below 10k docs total the cap can never trigger, so
+    * the small-scale oracle comparison is unaffected by the default.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, minJaccard: Double = 0.5,
-                        maxDf: Option[Int] = None): DataFrame = {
+                        maxDf: Option[Int] = Some(10000)): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
         shingleCol(col(textCol), w).as("sh"))
       .withColumn("nsh", size(col("sh")))
@@ -51,7 +56,10 @@ object Dedup {
         // Drop ultra-frequent shingles (stopword-like skew) before the join.
         val dfreq = inv0.groupBy("shingle").count().where(col("count") <= cap)
           .select(col("shingle"))
+        // Re-select in (id, nsh, shingle) order: the USING join puts the
+        // join key first and downstream renames are positional.
         inv0.join(dfreq, Seq("shingle"))
+          .select(col("id"), col("nsh"), col("shingle"))
       case None => inv0
     }
     val a = inv.toDF("ia", "na", "shingle")
@@ -83,7 +91,10 @@ object Dedup {
     val sigs = docs.map { case (id, text) =>
       val sh = Signatures.shingles(text, w)
       val keys = Signatures.bandKeys(Signatures.minhash(sh, numHashes), rowsPerBand)
-      (id, sh, keys)
+      // Ship 64-bit shingle fingerprints, not the strings: the verify join
+      // below is the heaviest shuffle at web scale and jaccard over the
+      // fingerprint sets is identical up to 64-bit collisions.
+      (id, Signatures.shingleHashes(sh), keys)
     }.toDF("id", "sh", "bandKeys")
 
     val buckets = sigs.select(col("id"),

@@ -33,6 +33,14 @@ object Signatures {
     Rng.mix64(h)
   }
 
+  /** 64-bit shingle fingerprints (distinct). Jaccard over these equals
+    * jaccard over the string shingles up to 64-bit collisions (~n²/2⁶⁵ —
+    * immaterial even at 10^9 shingles); at 100 TB the verify join ships
+    * 8-byte longs instead of multi-word strings.
+    */
+  def shingleHashes(shingleSet: Array[String]): Array[Long] =
+    shingleSet.map(s => hashString(s, 0L)).distinct
+
   /** MinHash signature of `numHashes` values over the shingle set.
     * Universal-hash family h_k(x) = mix(base ^ mix(k)) — one string hash
     * per shingle, then k cheap mixes.

@@ -58,6 +58,42 @@ object EventStream {
     out
   }
 
+  /** PRODUCTION sink shape: the same hourly aggregation in Append mode to a
+    * parquet directory with a checkpoint — bounded state (watermark expires
+    * closed windows), restartable, no driver-memory sink. Only windows the
+    * watermark has closed are emitted; the trailing open window stays in
+    * state until more data (or a no-data batch) advances the watermark.
+    * [[hourlyCountsStreaming]] stays the verify/oracle harness (Complete
+    * mode emits everything on bounded input).
+    */
+  def hourlyCountsToFiles(spark: SparkSession, eventsPath: String,
+                          outDir: String, checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val p = java.nio.file.Paths.get(eventsPath)
+    val reader = spark.readStream.schema(schema)
+    val stream0 =
+      if (java.nio.file.Files.isRegularFile(p))
+        reader.option("pathGlobFilter", p.getFileName.toString)
+          .parquet(p.getParent.toString)
+      else reader.parquet(eventsPath)
+    val agg = stream0
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Batch session-window aggregation (the built-in session_window
     * operator): sessions close after `gap` of inactivity per user.
     * SQL-expressible (lag + cumulative-sum sessionization) → oracled.

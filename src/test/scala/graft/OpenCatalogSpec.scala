@@ -74,6 +74,26 @@ class OpenCatalogSpec extends SparkSpec {
       "bucket probe is not partition-pruned:\n" + plan)
   }
 
+  test("IVF ANN: full probe equals brute force; pruned probe keeps recall") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    // nProbe == nCells ⇒ probe set is everything ⇒ identical to brute.
+    val full = Ann.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCells = 8, nProbe = 8).as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+    // Pruned probe: recall vs brute on the same k.
+    val pruned = Ann.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCells = 8, nProbe = 3).as[(Long, Double)].collect().map(_._1).toSet
+    val recall = (pruned intersect exact.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+    // Determinism: same parameters, same result.
+    val again = Ann.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCells = 8, nProbe = 3).as[(Long, Double)].collect().map(_._1).toSet
+    assert(again == pruned)
+  }
+
   test("planted 50%-hub skew: salting bounds the per-partition row maximum") {
     import spark.implicits._
     val big = spark.range(0, 100000L).select(

@@ -61,6 +61,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("append-mode file sink emits exactly the watermark-closed windows (production shape)") {
+    import java.nio.file.Files
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    EventStream.hourlyCountsToFiles(spark, s"$dir/events.parquet", out, ckpt)
+    val emitted = spark.read.parquet(out)
+      .collect().map(_.toSeq).toSet
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .collect().map(_.toSeq).toSet
+    // Append emits only windows the watermark closed: a subset of batch…
+    assert(emitted.nonEmpty && emitted.subsetOf(batch),
+      s"emitted ${emitted.size} rows, batch ${batch.size}")
+    // …and complete below the final watermark (max ts − 1h delay − 1h width).
+    val maxTs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0).getTime
+    val closedBound = maxTs - 2 * 3600 * 1000L
+    val missing = batch.filter(r =>
+      r.head.asInstanceOf[Timestamp].getTime < closedBound) -- emitted
+    assert(missing.isEmpty, s"closed windows not emitted: $missing")
+  }
+
   test("session_window batch operator groups by inactivity gap") {
     import spark.implicits._
     val events = Seq(
