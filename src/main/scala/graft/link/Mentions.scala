@@ -66,7 +66,7 @@ object Mentions {
     pages.map { p =>
       val ms = scanText(p.url, p.text, trieB.value)
       val cs = graft.triples.TripleExtract
-        .candidatesFromMentions(p.url, p.text, ms, phrasesB.value)
+        .allCandidates(p.url, p.text, ms, phrasesB.value)
       PageScan(p.url, ms, cs)
     }
   }

@@ -71,6 +71,15 @@ object GraphOut {
     val all = (0 until numParts).toSeq
     val pending = all.filterNot(done)
 
+    def timed[T](name: String)(f: => T): T =
+      if (sys.env.contains("GRAFT_TIMING")) {
+        val t = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[timing]   $stage/$name%-14s ${(System.nanoTime() - t) / 1e9}%.3f s")
+        r
+      } else f
+
     var written = 0L
     pending.grouped(groupSize).foreach { group =>
       val t0 = System.nanoTime()
@@ -79,27 +88,28 @@ object GraphOut {
       // skips buckets that receive zero rows from the new input, and the
       // read-back lineage below would otherwise count stale rows as current.
       IcebergishTable.deletePartitionDirs(table, group)
-      IcebergishTable.writePrePartitioned(deduped, table, numParts, keyCol)
+      timed("write")(
+        IcebergishTable.writePrePartitioned(deduped, table, numParts, keyCol))
       val wallMs = (System.nanoTime() - t0) / 1000000L
       // Lineage from the written files: prune to (part, key) columns only.
       // (Correct because the group's dirs were cleared above — the read-back
       // sees exactly this write's files; reading back beats re-running the
       // whole upstream plan a second time just for stats.)
-      val stats = IcebergishTable.read(spark, table)
+      val stats = timed("lineage-scan")(IcebergishTable.read(spark, table)
         .where(col(IcebergishTable.PartCol).isin(group: _*))
         .groupBy(col(IcebergishTable.PartCol))
         .agg(count(lit(1)).as("n"),
           coalesce(expr(s"bit_xor(xxhash64($keyCol))"), lit(0L)).as("fp"))
         .collect()
         .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
+        .toMap)
       val rows = group.map { p =>
         val (n, fp) = stats.getOrElse(p, (0L, 0L))
         written += n
         CheckpointRow(runId, stage, p, inputTag,
           java.lang.Long.toHexString(fp), n, n, wallMs, "done")
       }
-      Checkpoint.append(spark, ckptPath, rows)
+      timed("ack-append")(Checkpoint.append(spark, ckptPath, rows))
     }
     WriteStats(pending, all.filter(done), written)
   }

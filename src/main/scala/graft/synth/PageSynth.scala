@@ -149,7 +149,8 @@ object PageSynth {
     var s = 0
     while (s < nSentences) {
       val base = 100L + s * 50L
-      if (Rng.nextDouble(seed, i, base) < 0.45) {
+      val kind = Rng.nextDouble(seed, i, base)
+      if (kind < 0.40) {
         // Fact sentence: aliasA phrase aliasB .
         val ea = Rng.nextZipf(seed, i, base + 1, NumEntities)
         var eb = Rng.nextInt(seed, i, base + 2, NumEntities)
@@ -171,6 +172,39 @@ object PageSynth {
           entityId(canonicalOf(ea)), pred, entityId(canonicalOf(eb)),
           url, math.min(confA, confB)
         )
+      } else if (kind < 0.52) {
+        // Coreference sentence: `It <phrase> <aliasB> .` — "It" refers to
+        // the page's TITLE entity (multi-sentence context, ROADMAP #1).
+        val eb = Rng.nextInt(seed, i, base + 2, NumEntities)
+        val (phrase, pred) = relations(Rng.nextInt(seed, i, base + 3, relations.size))
+        val longB = Rng.nextDouble(seed, i, base + 5) < 0.3
+        val (aliasB, confB) =
+          if (longB) (entityName(eb) + " Corp", 0.9) else (entityName(eb), 1.0)
+        blocks += Vector(
+          Plain("It"),
+          Plain(phrase),
+          Ment(aliasB, entityId(eb), confB),
+          Plain(".")
+        )
+        triples += Triple(
+          entityId(canonicalOf(titleEnt)), pred, entityId(canonicalOf(eb)),
+          url, confB // title mention links at conf 1.0
+        )
+      } else if (kind < 0.60) {
+        // NEGATIVE pattern: `aliasA never <phrase> aliasB .` — the gap text
+        // is NOT a relation phrase; a sloppy extractor that substring-matches
+        // phrases (instead of exact-gap matching) would hallucinate a triple.
+        val ea = Rng.nextZipf(seed, i, base + 1, NumEntities)
+        var eb = Rng.nextInt(seed, i, base + 2, NumEntities)
+        if (eb == ea) eb = (eb + 1) % NumEntities
+        val (phrase, _) = relations(Rng.nextInt(seed, i, base + 3, relations.size))
+        blocks += Vector(
+          Ment(entityName(ea), entityId(ea), 1.0),
+          Plain("never " + phrase),
+          Ment(entityName(eb), entityId(eb), 1.0),
+          Plain(".")
+        )
+        // no golden triple — precision stress
       } else {
         // Filler sentence, optionally with one ambiguous bare-noun mention.
         val nWords = 5 + Rng.nextInt(seed, i, base + 1, 7)

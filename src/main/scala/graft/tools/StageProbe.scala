@@ -24,7 +24,9 @@ object StageProbe {
       nPages = nPages, partitions = 64, outputBuckets = 128, workDir = dir,
       sentMin = 24, sentSpread = 16))
     prep.stop()
-    Seq(8, 8, 32, 32).foreach { cpus =>
+    val levels = sys.env.getOrElse("SPARK_GRAFT_PROBE_LEVELS", "2,2,8,8,32,32")
+      .split(',').map(_.trim.toInt).toSeq
+    levels.foreach { cpus =>
       val spark = session(cpus)
       spark.sparkContext.setLogLevel("ERROR")
       val out = Files.createTempDirectory(
@@ -32,9 +34,11 @@ object StageProbe {
       Files.createSymbolicLink(java.nio.file.Paths.get(s"$out/pages"),
         java.nio.file.Paths.get(table))
       val t0 = System.nanoTime()
+      // sentMin/sentSpread must match the prep config or the synth-config
+      // fingerprint check would rebuild the shared table.
       Pipeline.build(spark, PipelineConfig(seed = 42L, nPages = nPages,
         partitions = cpus * 2, outputBuckets = 32, workDir = out,
-        runId = s"sp-$cpus-${System.nanoTime()}"))
+        runId = s"sp-$cpus-${System.nanoTime()}", sentMin = 24, sentSpread = 16))
       println(f"[stage] cpus=$cpus total ${(System.nanoTime() - t0) / 1e9}%.2f s")
       graft.io.IcebergishTable.drop(out)
       spark.stop()

@@ -53,10 +53,53 @@ object TripleExtract {
     out.toSeq
   }
 
+  /** Title-entity coreference: a sentence block of the form
+    * `It <relation phrase> <mention> …` refers back to the page's title
+    * entity (the first mention, which sits in the first block). Emits a
+    * candidate anchored at the TITLE mention's offset, so resolution joins
+    * against the already-linked title mention — no extra linking pass.
+    * Blocks are '\n'-delimited (the extractor's block contract).
+    */
+  def corefCandidates(url: String, text: String,
+                      ms: Seq[graft.Mention],
+                      phrases: Map[String, String]): Seq[RelCandidate] = {
+    if (ms.isEmpty) return Seq.empty
+    val title = ms.head
+    val firstNl = text.indexOf('\n')
+    if (firstNl < 0 || title.begin > firstNl) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[RelCandidate]
+    var mi = 0
+    var blockStart = firstNl + 1
+    while (blockStart < text.length) {
+      val nl = text.indexOf('\n', blockStart)
+      val blockEnd = if (nl < 0) text.length else nl
+      if (text.startsWith("It ", blockStart)) {
+        while (mi < ms.length && ms(mi).begin < blockStart) mi += 1
+        if (mi < ms.length && ms(mi).begin < blockEnd) {
+          val m = ms(mi)
+          val gap = text.substring(blockStart + 2, m.begin).trim
+          phrases.get(gap).foreach { pred =>
+            out += RelCandidate(url, title.begin, m.begin, pred)
+          }
+        }
+      }
+      blockStart = blockEnd + 1
+    }
+    out.toSeq
+  }
+
+  /** All candidates of one page: adjacent-mention phrase matches plus
+    * title-coreference sentences.
+    */
+  def allCandidates(url: String, text: String, ms: Seq[graft.Mention],
+                    phrases: Map[String, String]): Seq[RelCandidate] =
+    candidatesFromMentions(url, text, ms, phrases) ++
+      corefCandidates(url, text, ms, phrases)
+
   /** Pure per-page candidate scan — also used by tests. */
   def scanCandidates(url: String, text: String, trie: AliasTrie,
                      phrases: Map[String, String]): Seq[RelCandidate] =
-    candidatesFromMentions(url, text, Mentions.scanText(url, text, trie), phrases)
+    allCandidates(url, text, Mentions.scanText(url, text, trie), phrases)
 
   /** Distributed candidate scan: narrow flatMap over pages, no shuffle. */
   def candidates(pages: Dataset[Page], aliasSurfaces: Seq[String],
@@ -95,7 +138,7 @@ object TripleExtract {
       val ms = Mentions.scanText(p.url, p.text, trieB.value)
       val linked = Mentions.linkLocal(ms, winnersB.value)
       val byBegin = linked.map(l => l.begin -> l).toMap
-      candidatesFromMentions(p.url, p.text, ms, phrasesB.value).flatMap { c =>
+      allCandidates(p.url, p.text, ms, phrasesB.value).flatMap { c =>
         for (a <- byBegin.get(c.beginA); b <- byBegin.get(c.beginB))
           yield Triple(a.entity, c.pred, b.entity, p.url,
             math.min(a.conf, b.conf))

@@ -1,0 +1,48 @@
+package graft
+
+import graft.link.{AliasTrie, Mentions}
+import graft.triples.TripleExtract
+
+/** Title-coreference and negative-pattern extraction (ROADMAP #1):
+  * `It <phrase> <B>` resolves to the title entity; `A never <phrase> B`
+  * must NOT produce a triple (gap matching is exact, not substring).
+  */
+class CorefExtractSpec extends SparkSpec {
+
+  private val phrases = Map(
+    "acquired" -> "acquired",
+    "was founded by" -> "founded_by")
+  private val trie = AliasTrie.build(Seq("Acme Labs", "Beta Corp", "Gamma Inc"))
+
+  test("`It <phrase> <B>` in a later block resolves to the title entity") {
+    val text = "Page 1 about Acme Labs\n" +
+      "the quarterly report was strong .\n" +
+      "It acquired Beta Corp .\n" +
+      "It was founded by Gamma Inc ."
+    val ms = Mentions.scanText("u", text, trie)
+    val cands = TripleExtract.allCandidates("u", text, ms, phrases)
+    val coref = cands.filter(_.beginA == ms.head.begin)
+    assert(coref.map(_.pred).toSet == Set("acquired", "founded_by"))
+    // beginB anchors at the object mention of each coref sentence.
+    val byPred = coref.map(c => c.pred -> c.beginB).toMap
+    assert(text.substring(byPred("acquired")).startsWith("Beta Corp"))
+    assert(text.substring(byPred("founded_by")).startsWith("Gamma Inc"))
+  }
+
+  test("negative patterns and non-phrase gaps produce no candidates") {
+    val text = "Page 2 about Acme Labs\n" +
+      "Beta Corp never acquired Gamma Inc .\n" +
+      "It never acquired Beta Corp .\n" +
+      "It reviewed Beta Corp ."
+    val ms = Mentions.scanText("u", text, trie)
+    val cands = TripleExtract.allCandidates("u", text, ms, phrases)
+    assert(cands.isEmpty, s"hallucinated candidates: $cands")
+  }
+
+  test("coref ignores pages whose first mention is not in the title block") {
+    val text = "no mentions here\nIt acquired Beta Corp ."
+    val ms = Mentions.scanText("u", text, trie)
+    val cands = TripleExtract.corefCandidates("u", text, ms, phrases)
+    assert(cands.isEmpty) // 'It' cannot refer to a later mention
+  }
+}
