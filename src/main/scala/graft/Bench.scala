@@ -167,15 +167,16 @@ object Bench {
     val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Pages sized so parallel compute dominates the fixed per-job cost —
     // Common-Crawl-realistic page sizes (~30 sentences ≈ 5-25 KB html).
-    // 500k at sf0.1: stage decomposition showed the narrow scan scaling at
+    // 300k at sf0.1: stage decomposition showed the narrow scan scaling at
     // 0.76 (2→8) while ~10 s of per-build fixed cost (exchange setup,
-    // parquet commit protocol, lineage scans) stays flat — a larger input
-    // amortizes the fixed part so the ratio measures the plan, not the
-    // job-submission tax.
+    // parquet commit protocol, lineage scans, plan compilation) stays flat —
+    // a larger input amortizes the fixed part so the ratio measures the
+    // plan, not the job-submission tax (at 500k pages the 2→8 CPU ratio
+    // reaches 1.0). 300k keeps the whole bench inside the driver's budget.
     val nPages = sys.env.get("SPARK_GRAFT_BENCH_PAGES").map(_.toLong)
       .getOrElse(if (sfDir.contains("sf0.001")) 2000L
         else if (sfDir.contains("sf0.01")) 20000L
-        else 500000L)
+        else 300000L)
 
     // Build the input pages table once (data generation, not timed).
     val prep = session(cpusHi)

@@ -38,13 +38,18 @@ final case class PipelineConfig(
     // driver and folded into the broadcast link winners; above it the build
     // canonicalizes via a join instead (driver-OOM guard for the day the
     // sameAs graph comes from DISCOVERED entities, not the dictionary).
-    ccLocalThreshold: Long = 500000L
+    ccLocalThreshold: Long = 500000L,
+    // Planted-hub synthesis share (north_rule skew case): fraction of fact
+    // sentences whose subject is entity 0. 0 = historical corpus.
+    hubShare: Double = 0.0,
+    // Write-side skew salting: split each output bucket over this many
+    // shuffle sub-keys (see GraphOut.bucketedDedupPlan). 1 = one file per
+    // bucket; raise when a hub subject concentrates a bucket.
+    writeSalt: Int = 1
 )
 
-/** Config rejection — the reference fails init on inconsistent parameters
-  * (`verify_parameters`, /root/reference/src/graph_loader.rs:253-271).
-  */
-final class InvalidConfig(msg: String) extends IllegalArgumentException(msg)
+// InvalidConfig and the rest of the typed failure taxonomy live in
+// model.scala (sealed GraftError hierarchy).
 
 final case class PipelineStats(
     pages: Long,
@@ -83,7 +88,8 @@ object Pipeline {
     // content contract.
     val fingerprint =
       s"seed=${cfg.seed};nPages=${cfg.nPages};sentMin=${cfg.sentMin};" +
-        s"sentSpread=${cfg.sentSpread}"
+        s"sentSpread=${cfg.sentSpread}" +
+        (if (cfg.hubShare > 0) s";hubShare=${cfg.hubShare}" else "")
     val fpFile = java.nio.file.Paths.get(table, "SYNTH_CONFIG")
     val current =
       if (java.nio.file.Files.exists(fpFile))
@@ -98,7 +104,7 @@ object Pipeline {
         java.nio.file.Files.delete(tPath)
       else if (IcebergishTable.exists(table)) IcebergishTable.drop(table)
       val pages = PageSynth.pages(spark, cfg.seed, cfg.nPages, cfg.partitions,
-        cfg.sentMin, cfg.sentSpread)
+        cfg.sentMin, cfg.sentSpread, cfg.hubShare)
       IcebergishTable.write(pages.toDF, table, "url", cfg.outputBuckets)
       java.nio.file.Files.write(fpFile,
         fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -173,7 +179,7 @@ object Pipeline {
       GraphOut.writeBucketedDedup(
         rawTriples.toDF, edgesTable, "subj", cfg.outputBuckets,
         Seq("subj", "pred", "obj", "url"), ckpt, cfg.runId, "edges",
-        inputTag = inputTag)
+        inputTag = inputTag, skewSalt = cfg.writeSalt)
     }
 
     // Vertices derive from the written (compressed, pruned) edge table via

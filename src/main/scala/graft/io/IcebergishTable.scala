@@ -160,7 +160,7 @@ object IcebergishTable {
     */
   def manifestMeta(table: String): (String, Option[(String, Int)]) = {
     val snap = currentSnapshot(table)
-    require(snap >= 0, s"not an Icebergish table: $table")
+    if (snap < 0) throw new graft.TableNotFound(table)
     val json = new String(
       Files.readAllBytes(dir(table).resolve(s"snap-$snap.json")),
       StandardCharsets.UTF_8)
@@ -200,7 +200,7 @@ object IcebergishTable {
     */
   def readSnapshot(spark: SparkSession, table: String, snapshot: Int): DataFrame = {
     val m = dir(table).resolve(s"snap-$snapshot.json")
-    require(Files.exists(m), s"snapshot $snapshot does not exist for $table")
+    if (!Files.exists(m)) throw new graft.SnapshotNotFound(table, snapshot)
     val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
     // Minimal extraction of the "files":[...] array (manifests are written
     // by `commit` above — flat JSON, no nested arrays before "files").

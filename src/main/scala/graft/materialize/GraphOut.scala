@@ -194,7 +194,8 @@ object GraphOut {
       runId: String,
       stage: String,
       groupSize: Int = 64,
-      inputTag: String = "static"
+      inputTag: String = "static",
+      skewSalt: Int = 1
   ): WriteStats = {
     val withPart = df.withColumn(IcebergishTable.PartCol,
       IcebergishTable.partExpr(keyCol, numParts))
@@ -202,7 +203,7 @@ object GraphOut {
       stage, groupSize, inputTag) { group =>
       bucketedDedupPlan(
         withPart.where(col(IcebergishTable.PartCol).isin(group: _*)),
-        group.size * 2, dedupCols)
+        group.size * 2 * math.max(1, skewSalt), dedupCols, skewSalt)
     }
   }
 
@@ -215,12 +216,45 @@ object GraphOut {
     * the sort-agg fallback).
     */
   def bucketedDedupPlan(withPart: DataFrame, shuffleParts: Int,
-                        dedupCols: Seq[String]): DataFrame = {
-    val sub = withPart.repartition(shuffleParts, col(IcebergishTable.PartCol))
-    if (dedupCols.isEmpty) sub
-    else {
-      val keyCols = IcebergishTable.PartCol +: dedupCols
-      val restCols = sub.columns.filterNot(keyCols.contains)
+                        dedupCols: Seq[String]): DataFrame =
+    bucketedDedupPlan(withPart, shuffleParts, dedupCols, 1)
+
+  /** `skewSalt > 1` splits each bucket over `skewSalt` shuffle sub-keys for
+    * hub-entity skew (north_rule: one entity in 50% of pages lands half the
+    * edge table in ONE bucket — with salt=1 that bucket is a single
+    * straggler task). The salt is a pure function of the dedup key, so
+    * duplicate rows still meet in one task and the dedup stays exact; the
+    * salt column joins the grouping keys (functionally redundant, but it
+    * lets the child's (part, salt) HashPartitioning satisfy the
+    * aggregation's clustering — still exactly ONE exchange). Cost: up to
+    * `skewSalt` files per bucket instead of one.
+    */
+  def bucketedDedupPlan(withPart: DataFrame, shuffleParts: Int,
+                        dedupCols: Seq[String], skewSalt: Int): DataFrame = {
+    if (skewSalt <= 1 || dedupCols.isEmpty) {
+      val sub = withPart.repartition(shuffleParts, col(IcebergishTable.PartCol))
+      if (dedupCols.isEmpty) sub
+      else {
+        val keyCols = IcebergishTable.PartCol +: dedupCols
+        val restCols = sub.columns.filterNot(keyCols.contains)
+        val grouped =
+          if (restCols.isEmpty)
+            sub.groupBy(keyCols.map(col): _*).agg(count(lit(1))).drop("count(1)")
+          else {
+            val aggs = restCols.map(c => first(col(c)).as(c))
+            sub.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          }
+        grouped.select(sub.columns.map(col).toIndexedSeq: _*)
+      }
+    } else {
+      val saltCol = "_wsalt"
+      val salted = withPart.withColumn(saltCol,
+        pmod(xxhash64(dedupCols.map(col): _*), lit(skewSalt)).cast("int"))
+      val sub = salted.repartition(shuffleParts,
+        col(IcebergishTable.PartCol), col(saltCol))
+      val keyCols = Seq(IcebergishTable.PartCol, saltCol) ++ dedupCols
+      val restCols = withPart.columns
+        .filterNot((IcebergishTable.PartCol +: dedupCols).contains)
       val grouped =
         if (restCols.isEmpty)
           sub.groupBy(keyCols.map(col): _*).agg(count(lit(1))).drop("count(1)")
@@ -228,7 +262,7 @@ object GraphOut {
           val aggs = restCols.map(c => first(col(c)).as(c))
           sub.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
         }
-      grouped.select(sub.columns.map(col).toIndexedSeq: _*)
+      grouped.select(withPart.columns.map(col).toIndexedSeq: _*)
     }
   }
 

@@ -75,6 +75,39 @@ final case class Edge(
     part: Int
 )
 
+/** Typed failure taxonomy — the reference normalizes every failure into a
+  * 19-variant error ADT (/root/reference/src/errors.rs:4-70). Most of those
+  * variants are HTTP/cursor-protocol failures that Spark's own machinery
+  * owns here (task retries, FetchFailed, AnalysisException for
+  * schema/resolution errors, PERMISSIVE-mode quarantine for malformed
+  * rows); this sealed hierarchy covers the library's OWN validation and
+  * table-protocol surfaces so callers can match exhaustively.
+  */
+sealed abstract class GraftError(msg: String)
+    extends RuntimeException(msg)
+
+/** Inconsistent pipeline configuration rejected at init (reference
+  * `verify_parameters`, graph_loader.rs:253-271).
+  */
+final class InvalidConfig(msg: String) extends GraftError(msg)
+
+/** Path is not an Icebergish table (no committed snapshot). */
+final class TableNotFound(table: String)
+    extends GraftError(s"not an Icebergish table (no VERSION): $table")
+
+/** Requested snapshot is missing/expired (Iceberg's expired-snapshot
+  * analog).
+  */
+final class SnapshotNotFound(table: String, snapshot: Int)
+    extends GraftError(s"snapshot $snapshot does not exist for $table")
+
+/** Named graph absent from the supplied catalog (reference
+  * `fetch_edge_and_vertex_collections_by_graph` failing the lookup,
+  * graph_loader.rs:1047-1109).
+  */
+final class GraphNotInCatalog(graph: String)
+    extends GraftError(s"no such graph in catalog: $graph")
+
 /** One row per completed partition of a stage — the Spark analog of the
   * reference's batch-acknowledgement resume protocol
   * (/root/reference/src/sharding.rs:237-239, :270-271): a partition is

@@ -60,7 +60,7 @@ object GraphCatalog {
   def named(catalog: DataFrame, graphName: String): GraphSpec = {
     val defs = catalog.where(col("graph") === graphName)
       .select(col("collection"), col("from"), col("to"))
-    require(!defs.isEmpty, s"no such graph in catalog: $graphName")
+    if (defs.isEmpty) throw new graft.GraphNotInCatalog(graphName)
     fromDefinitions(graphName, defs)
   }
 

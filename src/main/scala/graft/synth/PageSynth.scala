@@ -130,7 +130,14 @@ object PageSynth {
 
   private val langs = Vector("en", "en", "en", "de", "fr", "es")
 
-  def page(seed: Long, i: Long, sentMin: Int = 3, sentSpread: Int = 5): SynthPage = {
+  /** `hubShare > 0` plants a pathological hub: that fraction of fact
+    * sentences uses entity 0 as the subject (north_rule's "hub entity in
+    * 50% of pages" skew case). Draws for the hub decision use a fresh index
+    * and are only taken when hubShare > 0, so hubShare = 0 reproduces the
+    * historical pages bit-for-bit.
+    */
+  def page(seed: Long, i: Long, sentMin: Int = 3, sentSpread: Int = 5,
+           hubShare: Double = 0.0): SynthPage = {
     val url = s"https://site${Rng.nextInt(seed, i, 1, 50)}.example/p/$i"
     val ts = new Timestamp(1600000000000L + (Rng.at(seed, i, 2) >>> 24))
     val lang = langs(Rng.nextInt(seed, i, 3, langs.size))
@@ -152,7 +159,9 @@ object PageSynth {
       val kind = Rng.nextDouble(seed, i, base)
       if (kind < 0.40) {
         // Fact sentence: aliasA phrase aliasB .
-        val ea = Rng.nextZipf(seed, i, base + 1, NumEntities)
+        val ea =
+          if (hubShare > 0 && Rng.nextDouble(seed, i, base + 8) < hubShare) 0
+          else Rng.nextZipf(seed, i, base + 1, NumEntities)
         var eb = Rng.nextInt(seed, i, base + 2, NumEntities)
         if (eb == ea) eb = (eb + 1) % NumEntities
         val (phrase, pred) = relations(Rng.nextInt(seed, i, base + 3, relations.size))
@@ -327,32 +336,33 @@ object PageSynth {
     */
   def synthesize(spark: SparkSession, seed: Long, n: Long,
                  partitions: Int = 32, sentMin: Int = 3,
-                 sentSpread: Int = 5): Dataset[SynthPage] = {
+                 sentSpread: Int = 5, hubShare: Double = 0.0): Dataset[SynthPage] = {
     import spark.implicits._
-    spark.range(0L, n, 1L, partitions).map(i => page(seed, i, sentMin, sentSpread))
+    spark.range(0L, n, 1L, partitions)
+      .map(i => page(seed, i, sentMin, sentSpread, hubShare))
   }
 
   def pages(spark: SparkSession, seed: Long, n: Long,
             partitions: Int = 32, sentMin: Int = 3,
-            sentSpread: Int = 5): Dataset[Page] = {
+            sentSpread: Int = 5, hubShare: Double = 0.0): Dataset[Page] = {
     import spark.implicits._
-    synthesize(spark, seed, n, partitions, sentMin, sentSpread)
+    synthesize(spark, seed, n, partitions, sentMin, sentSpread, hubShare)
       .map(p => Page(p.url, p.warc_ts, p.html, p.text, p.lang))
   }
 
   def goldenMentions(spark: SparkSession, seed: Long, n: Long,
                      partitions: Int = 32, sentMin: Int = 3,
-                     sentSpread: Int = 5): Dataset[GoldenMention] = {
+                     sentSpread: Int = 5, hubShare: Double = 0.0): Dataset[GoldenMention] = {
     import spark.implicits._
-    synthesize(spark, seed, n, partitions, sentMin, sentSpread)
+    synthesize(spark, seed, n, partitions, sentMin, sentSpread, hubShare)
       .flatMap(_.goldenMentions)
   }
 
   def goldenTriples(spark: SparkSession, seed: Long, n: Long,
                     partitions: Int = 32, sentMin: Int = 3,
-                    sentSpread: Int = 5): Dataset[Triple] = {
+                    sentSpread: Int = 5, hubShare: Double = 0.0): Dataset[Triple] = {
     import spark.implicits._
-    synthesize(spark, seed, n, partitions, sentMin, sentSpread)
+    synthesize(spark, seed, n, partitions, sentMin, sentSpread, hubShare)
       .flatMap(_.goldenTriples)
   }
 

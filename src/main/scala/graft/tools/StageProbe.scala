@@ -36,8 +36,9 @@ object StageProbe {
       val t0 = System.nanoTime()
       // sentMin/sentSpread must match the prep config or the synth-config
       // fingerprint check would rebuild the shared table.
+      val buckets = sys.env.getOrElse("SPARK_GRAFT_PROBE_BUCKETS", "32").toInt
       Pipeline.build(spark, PipelineConfig(seed = 42L, nPages = nPages,
-        partitions = cpus * 2, outputBuckets = 32, workDir = out,
+        partitions = cpus * 2, outputBuckets = buckets, workDir = out,
         runId = s"sp-$cpus-${System.nanoTime()}", sentMin = 24, sentSpread = 16))
       println(f"[stage] cpus=$cpus total ${(System.nanoTime() - t0) / 1e9}%.2f s")
       graft.io.IcebergishTable.drop(out)

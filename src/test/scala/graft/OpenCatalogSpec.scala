@@ -48,7 +48,7 @@ class OpenCatalogSpec extends SparkSpec {
     assert(social.vertexCollections == Seq("people", "posts"))
     val retail = GraphCatalog.named(catalog, "retail")
     assert(retail.vertexCollections == Seq("customers", "items"))
-    intercept[IllegalArgumentException] {
+    intercept[GraphNotInCatalog] {
       GraphCatalog.named(catalog, "nope")
     }
     val custom = GraphCatalog.custom(

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.IcebergishTable
+import graft.materialize.GraphOut
+import graft.synth.PageSynth
+
+/** North_rule skew case THROUGH the real pipeline: a hub entity planted as
+  * the subject of 50% of fact sentences, so half the edge table lands in
+  * one output bucket. Write-side salting must split that bucket across
+  * tasks without changing results, plan shape (one exchange), or golden
+  * P/R.
+  */
+class SkewPipelineSpec extends SparkSpec {
+
+  private def tmpDir(p: String): String = Files.createTempDirectory(p).toString
+
+  test("hub pipeline: salted write == unsalted write, golden P/R exact, hub bucket splits") {
+    import spark.implicits._
+    def build(salt: Int): String = {
+      val dir = tmpDir(s"graft-hub-$salt")
+      Pipeline.build(spark, PipelineConfig(seed = 13L, nPages = 400L,
+        partitions = 4, outputBuckets = 8, workDir = dir, runId = s"h$salt",
+        hubShare = 0.5, writeSalt = salt))
+      dir
+    }
+    def edges(dir: String): Set[(String, String, String, String)] =
+      IcebergishTable.read(spark, s"$dir/edges")
+        .select("subj", "pred", "obj", "url")
+        .as[(String, String, String, String)].collect().toSet
+
+    val d1 = build(1)
+    val d4 = build(4)
+    val e1 = edges(d1)
+    val e4 = edges(d4)
+    assert(e1 == e4, "salting changed the edge table")
+
+    // The hub really dominates: entity 0's canonical id subjects ≥ 30%.
+    val hubSubj = PageSynth.entityId(0)
+    val hubRows = e1.count(_._1 == hubSubj)
+    assert(hubRows.toDouble / e1.size >= 0.3,
+      s"hub share too small: $hubRows/${e1.size}")
+
+    // Golden P/R stays exact under the hub synthesis mode.
+    val golden = PageSynth.goldenTriples(spark, 13L, 400L, 4, hubShare = 0.5)
+      .map(t => (t.subj, t.pred, t.obj)).collect().toSet
+    assert(e1.map(t => (t._1, t._2, t._3)) == golden)
+
+    // The hub bucket physically split: >1 file under its part dir at salt=4.
+    val hubPart = Seq(hubSubj).toDF("k")
+      .select(IcebergishTable.partExpr("k", 8)).head().getInt(0)
+    def filesIn(dir: String, part: Int): Int = {
+      val d = java.nio.file.Paths.get(s"$dir/edges/data/part=$part")
+      val s = java.nio.file.Files.list(d)
+      try s.filter(_.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    assert(filesIn(d1, hubPart) == 1)
+    assert(filesIn(d4, hubPart) > 1,
+      "salt=4 should split the hub bucket across writer tasks")
+  }
+
+  test("salted dedup plan still has exactly ONE exchange and bounds the max task") {
+    import spark.implicits._
+    // 10k rows, 50% one hub subject, pre-bucketed into 8 parts.
+    val df = spark.range(0, 10000)
+      .select(
+        when(col("id") % 2 === 0, lit("HUB"))
+          .otherwise(concat(lit("s"), col("id") % 500)).as("subj"),
+        lit("p").as("pred"), concat(lit("o"), col("id")).as("obj"),
+        concat(lit("u"), col("id")).as("url"), lit(1.0).as("conf"))
+      .withColumn(IcebergishTable.PartCol, IcebergishTable.partExpr("subj", 8))
+    val salted = GraphOut.bucketedDedupPlan(df, 64,
+      Seq("subj", "pred", "obj", "url"), skewSalt = 8)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+
+    // Dedup exactness: same distinct set as the unsalted plan.
+    val plain = GraphOut.bucketedDedupPlan(df, 16,
+      Seq("subj", "pred", "obj", "url"))
+    assert(salted.select("subj", "obj").as[(String, String)].collect().toSet ==
+      plain.select("subj", "obj").as[(String, String)].collect().toSet)
+
+    // Max rows landing in one shuffle task: the unsalted hub task holds all
+    // 5000 hub rows; salting bounds it to ~5000/8 (+ slack for collisions).
+    val perTask = salted.groupBy(spark_partition_id().as("pid")).count()
+      .as[(Int, Long)].collect().map(_._2)
+    assert(perTask.max < 5000,
+      s"hub rows not split across tasks: max=${perTask.max}")
+    assert(perTask.max < 5000 / 8 * 3,
+      s"salted max task too heavy: ${perTask.max}")
+  }
+}
