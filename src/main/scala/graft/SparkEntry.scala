@@ -62,12 +62,17 @@ object SparkEntry {
         .where(col("lang") === "en")
     }),
     "p4_collection_name" -> ((s, dir) => {
-      // P4: `@collection_name` = substring of id before first '/'
-      // (reference: /root/reference/src/graph_loader.rs:51-56).
+      // P4: `@collection_name` = substring of id before first '/', with the
+      // reference's missing-id fallback literal (graph_loader.rs:51-56 and
+      // the "n/A - _id is missing" branch at :720-730). The planted null
+      // (doc_id 0) exercises the fallback through the oracle.
       t(s, dir, "documents")
-        .withColumn("id", concat(col("source"), lit("/"), col("doc_id").cast("string")))
+        .withColumn("id",
+          when(col("doc_id") === 0L, lit(null).cast("string"))
+            .otherwise(concat(col("source"), lit("/"), col("doc_id").cast("string"))))
         .select(col("doc_id"), col("id"),
-          substring_index(col("id"), "/", 1).as("collection"))
+          coalesce(substring_index(col("id"), "/", 1),
+            lit("n/A - _id is missing")).as("collection"))
     }),
     "f1_validation_filter" -> ((s, dir) => {
       // F1: reject malformed rows (reference hard-fails; we count + filter).
@@ -391,8 +396,10 @@ object SparkEntry {
     "s1_scan_project" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
     "p4_collection_name" ->
-      ("SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) AS id, " +
-        "split_part(source || '/' || CAST(doc_id AS VARCHAR), '/', 1) AS collection " +
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id = 0 THEN NULL ELSE source || '/' || CAST(doc_id AS VARCHAR) END AS id, " +
+        "CASE WHEN doc_id = 0 THEN 'n/A - _id is missing' " +
+        "ELSE split_part(source || '/' || CAST(doc_id AS VARCHAR), '/', 1) END AS collection " +
         "FROM documents"),
     "f1_validation_filter" ->
       // CAST: DuckDB sum(int) yields HUGEINT (pandas object) — the driver's

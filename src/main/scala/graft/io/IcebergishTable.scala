@@ -129,6 +129,23 @@ object IcebergishTable {
       bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None)
   }
 
+  /** APPEND a DataFrame that is already hash-partitioned on `PartCol` into
+    * the bucket directories (new files beside existing ones), committing a
+    * new snapshot. The streaming micro-batch sink's unit: file-level
+    * atomicity comes from the Hadoop output committer (_temporary staging),
+    * replay protection from the caller's batch-ack log.
+    */
+  def appendPrePartitioned(df: DataFrame, table: String, numParts: Int,
+                           keyCol: String = ""): Unit = {
+    df.write
+      .mode(SaveMode.Append)
+      .partitionBy(PartCol)
+      .parquet(dir(table).resolve("data").toString)
+    commit(table, currentSnapshot(table) + 1, df.schema.json,
+      0 until numParts, 0L,
+      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None)
+  }
+
   /** Overwrite only the listed partitions (idempotent resume unit). */
   def overwritePartitions(df: DataFrame, table: String, keyCol: String,
                           numParts: Int, parts: Seq[Int]): Unit = {

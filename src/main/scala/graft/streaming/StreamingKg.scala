@@ -62,4 +62,50 @@ object StreamingKg {
     q.awaitTermination()
     spark.read.parquet(outDir)
   }
+
+  /** One idempotent micro-batch append into the bucketed Icebergish triple
+    * table: skip if this batchId is already acked (a foreachBatch may
+    * replay after a crash between our commit and the streaming engine's),
+    * otherwise dedup within the batch in one bucket exchange, append the
+    * files (committer-atomic), commit a snapshot, THEN ack the batch.
+    */
+  def appendBatch(batch: DataFrame, table: String, batchId: Long,
+                  numParts: Int): Unit = {
+    val ackPath = s"$table-acks"
+    val already = graft.materialize.Checkpoint.readRows(ackPath)
+      .exists(r => r.run_id == "stream" && r.stage == "append" &&
+        r.part == batchId.toInt && r.status == "done")
+    if (already || batch.isEmpty) return
+    val withPart = batch.withColumn(graft.io.IcebergishTable.PartCol,
+      graft.io.IcebergishTable.partExpr("subj", numParts))
+    val deduped = graft.materialize.GraphOut
+      .bucketedDedupPlan(withPart, numParts * 2,
+        Seq("subj", "pred", "obj", "url"))
+    graft.io.IcebergishTable.appendPrePartitioned(deduped, table, numParts, "subj")
+    val n = graft.io.IcebergishTable.read(batch.sparkSession, table).count()
+    graft.materialize.Checkpoint.append(batch.sparkSession, ackPath, Seq(
+      graft.CheckpointRow("stream", "append", batchId.toInt, "stream",
+        "-", n, n, 0L, "done")))
+  }
+
+  /** Incremental KG straight into the BUCKETED Icebergish edge table —
+    * the production sink shape: streaming-checkpoint replay × per-batch
+    * ack log gives exactly-once at batch granularity, and the output is
+    * the same snapshot/manifest table format the batch pipeline writes
+    * (time-travel, bucket layout, DSv2 catalog all apply).
+    */
+  def buildIncrementalBucketed(spark: SparkSession, pagesDataDir: String,
+                               table: String, checkpointDir: String,
+                               canon: Map[String, String],
+                               numParts: Int = 16): DataFrame = {
+    val q = triplesStream(spark, pagesDataDir, canon).toDF
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, table, batchId, numParts))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.io.IcebergishTable.read(spark, table)
+  }
 }

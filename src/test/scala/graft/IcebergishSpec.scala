@@ -86,4 +86,55 @@ class IcebergishSpec extends SparkSpec {
       .as[(String, String, String, String)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("incremental KG into the bucketed Icebergish table: exactly-once across replays") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-skgb").toString
+    val pagesDir = s"$base/pages-data"
+    Files.createDirectories(java.nio.file.Paths.get(pagesDir))
+    val canon = PageSynth.sameAsPairs.map { case (c, d) => d -> c }.toMap
+    val table = s"$base/edges"
+
+    PageSynth.pages(spark, 31L, 100L, 2).toDF
+      .write.mode("append").parquet(pagesDir)
+    val out1 = StreamingKg.buildIncrementalBucketed(spark, pagesDir,
+      table, s"$base/ckpt", canon, numParts = 8)
+    val n1 = out1.count()
+    assert(n1 > 0)
+    val snap1 = graft.io.IcebergishTable.currentSnapshot(table)
+
+    // Replay the SAME micro-batch id directly (crash-between-commits case):
+    // the ack log must make it a no-op — no duplicate files, no new rows.
+    val pages = spark.read.parquet(pagesDir)
+      .select(col("url"), col("warc_ts"), col("html"),
+        graft.functions.HtmlExtractExpr.html_extract(col("html")).as("text"),
+        col("lang")).as[Page]
+    val replay = graft.triples.TripleExtract.extractDirect(pages,
+        PageSynth.aliasDictionary, PageSynth.relations.toMap)
+      .map(t => t.copy(subj = canon.getOrElse(t.subj, t.subj),
+        obj = canon.getOrElse(t.obj, t.obj))).toDF
+    StreamingKg.appendBatch(replay, table, batchId = 0L, numParts = 8)
+    assert(graft.io.IcebergishTable.read(spark, table).count() == n1)
+    assert(graft.io.IcebergishTable.currentSnapshot(table) == snap1)
+
+    // New files → only the new batch appends; total equals full batch calc.
+    PageSynth.pages(spark, 32L, 60L, 2).toDF
+      .write.mode("append").parquet(pagesDir)
+    val out2 = StreamingKg.buildIncrementalBucketed(spark, pagesDir,
+      table, s"$base/ckpt", canon, numParts = 8)
+    assert(out2.count() > n1)
+    val allPages = spark.read.parquet(pagesDir)
+      .select(col("url"), col("warc_ts"), col("html"),
+        graft.functions.HtmlExtractExpr.html_extract(col("html")).as("text"),
+        col("lang")).as[Page]
+    val batchSet = graft.triples.TripleExtract.extractDirect(allPages,
+        PageSynth.aliasDictionary, PageSynth.relations.toMap)
+      .map(t => (canon.getOrElse(t.subj, t.subj), t.pred,
+        canon.getOrElse(t.obj, t.obj), t.url))
+      .collect().toSet
+    val got = graft.io.IcebergishTable.read(spark, table)
+      .select("subj", "pred", "obj", "url")
+      .as[(String, String, String, String)].collect().toSet
+    assert(got == batchSet)
+  }
 }
