@@ -273,6 +273,8 @@ object Ann {
         (id, vec, t, Ann.bucketOf(arr, Ann.planesFor(arr.length, nBits, seed + t)))
       }
     }.toDF("id", "v", "table", "bucket")
+      // Both sides of the self-join: project nTables×nBits hyperplanes once.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.select(col("id").as("ia"), col("v").as("va"),
         col("table"), col("bucket"))
       .join(buckets.select(col("id").as("ib"), col("v").as("vb"),
@@ -280,8 +282,11 @@ object Ann {
       .where(col("ia") < col("ib"))
       .select(col("ia"), col("ib"), col("va"), col("vb"))
       .dropDuplicates("ia", "ib")
-    cand.withColumn("cosine", round(dot(col("va"), col("vb")), 4))
+    val out = cand.withColumn("cosine", round(dot(col("va"), col("vb")), 4))
       .where(col("cosine") >= minCosine)
       .select(col("ia"), col("ib"), col("cosine"))
+    val materialized = out.localCheckpoint()
+    buckets.unpersist(blocking = false)
+    materialized
   }
 }

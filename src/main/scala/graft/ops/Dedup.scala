@@ -50,7 +50,10 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
         shingleCol(col(textCol), w).as("sh"))
       .withColumn("nsh", size(col("sh")))
+    // Consumed 2-3× (both join sides + the df-frequency filter): shingle
+    // the corpus once.
     val inv0 = docs.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = maxDf match {
       case Some(cap) =>
         // Drop ultra-frequent shingles (stopword-like skew) before the join.
@@ -64,7 +67,7 @@ object Dedup {
     }
     val a = inv.toDF("ia", "na", "shingle")
     val b = inv.toDF("ib", "nb", "shingle")
-    a.join(b, Seq("shingle"))
+    val out = a.join(b, Seq("shingle"))
       .where(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -73,6 +76,9 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double"), 4))
       .where(col("jaccard") >= minJaccard)
       .select(col("ia"), col("ib"), col("jaccard"))
+    val materialized = out.localCheckpoint()
+    inv0.unpersist(blocking = false)
+    materialized
   }
 
   /** MinHash + LSH near-dup pairs: signature (narrow map) → band keys →
@@ -96,6 +102,10 @@ object Dedup {
       // fingerprint sets is identical up to 64-bit collisions.
       (id, Signatures.shingleHashes(sh), keys)
     }.toDF("id", "sh", "bandKeys")
+      // Consumed three times (band buckets + both sides of the verify
+      // join): persist so the text scan + 128 minhashes per doc run ONCE.
+      // MEMORY_AND_DISK: signatures spill rather than recompute at scale.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val buckets = sigs.select(col("id"),
       posexplode(col("bandKeys")).as(Seq("band", "key")))
@@ -108,13 +118,18 @@ object Dedup {
     // Verify candidates exactly with array_intersect on the shingle sets.
     val shA = sigs.select(col("id").as("ia"), col("sh").as("sha"))
     val shB = sigs.select(col("id").as("ib"), col("sh").as("shb"))
-    cand.join(shA, Seq("ia")).join(shB, Seq("ib"))
+    val out = cand.join(shA, Seq("ia")).join(shB, Seq("ib"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", round(
         col("inter").cast("double") /
           (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"), 4))
       .where(col("jaccard") >= minJaccard)
       .select(col("ia"), col("ib"), col("jaccard"))
+    // Materialize the (small) pair set eagerly, then free the signature
+    // cache — returning the lazy plan would recompute sigs after unpersist.
+    val materialized = out.localCheckpoint()
+    sigs.unpersist(blocking = false)
+    materialized
   }
 
   /** SimHash near-dup pairs: 64-bit signature (narrow), pigeonhole-block
@@ -132,13 +147,18 @@ object Dedup {
     val blocks = hashes.as[(Long, Long)].flatMap { case (id, h) =>
       Signatures.simhashBlocks(h, nBlocks).map { case (b, v) => (id, h, b, v) }
     }.toDF("id", "simhash", "block", "value")
-    blocks.toDF("ia", "ha", "block", "value")
+      // Both sides of the self-join: hash the corpus once, not twice.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = blocks.toDF("ia", "ha", "block", "value")
       .join(blocks.toDF("ib", "hb", "block", "value"), Seq("block", "value"))
       .where(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+    val materialized = pairs.localCheckpoint()
+    blocks.unpersist(blocking = false)
+    materialized
   }
 
   /** Per-doc simhash signatures (inspectable output / rows-only check). */
