@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * re-expression: fold every non-id column into a `props: map<string,string>`
   * column (values stringified, nulls dropped — schemaless-payload shape),
   * and project back out with `props['k']`. Both directions are single
-  * narrow codegen'd projections — no UDF, no shuffle; a projection of
-  * `props['k']` right after [[allAttributes]] collapses at the optimizer
-  * level (CreateMap + GetMapValue constant-fold), so the open-schema API
-  * costs nothing when the query only touches named keys.
+  * narrow codegen'd projections — no UDF, no shuffle. A projection of
+  * `props['k']` right after [[allAttributes]] does NOT fold with Spark's
+  * built-in `SimplifyExtractValueOps` (the `map_filter` blocks it); the
+  * injected [[graft.plans.SimplifyOpenSchemaProjection]] rule folds the
+  * round-trip to the bare column, so with [[graft.plans.GraftExtensions]]
+  * the open-schema API costs nothing when a query only touches named keys.
   */
 object OpenSchema {
 

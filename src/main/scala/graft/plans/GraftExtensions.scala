@@ -7,18 +7,20 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import graft.functions.HtmlExtractExpr
 
 /** Session-extension entry point: registers the engine's native
-  * function(s). Usage:
+  * function(s) and its one optimizer rule. Usage:
   *
   *   SparkSession.builder()
   *     .withExtensions(new GraftExtensions)
   *     // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
   *
-  * Deliberately ships NO custom optimizer rule or SparkStrategy
-  * (SURVEY.md §4/§7.4): the shapes this engine produces are fully
-  * optimized by Catalyst's built-ins — e.g. redundant nested dedups are
-  * collapsed by the Deduplicate→Aggregate replacement + aggregate
-  * collapse, asserted in ExtensionsSpec. Adding a rule Spark subsumes
-  * would be maintenance surface with zero plan benefit.
+  * Rule policy (SURVEY.md §4/§7.4): ship a custom rule ONLY where
+  * Catalyst's built-ins demonstrably leave a per-row cost — e.g. redundant
+  * nested dedups are already collapsed by the Deduplicate→Aggregate
+  * replacement + aggregate collapse (asserted in ExtensionsSpec), so no
+  * rule exists for that. [[SimplifyOpenSchemaProjection]] earns its place:
+  * `SimplifyExtractValueOps` cannot fold `props['k']` through
+  * `map_filter`, leaving a full map build+filter per row on open-schema
+  * round-trips (asserted before/after in ExtensionsSpec).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -28,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HtmlExtractExpr(exprs.head)
     ))
+    ext.injectOptimizerRule(_ => SimplifyOpenSchemaProjection)
   }
 }

@@ -16,6 +16,8 @@ class ExtensionsSpec extends AnyFunSuite {
     // runtime hooks: experimental.extraOptimizations + function registry.
     val s = SparkSpec.session.newSession()
     graft.functions.HtmlExtractExpr.register(s)
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.SimplifyOpenSchemaProjection
     s
   }
 
@@ -32,6 +34,35 @@ class ExtensionsSpec extends AnyFunSuite {
     val got = spark.sql("SELECT html_extract(html) FROM ext_html")
       .collect().head.getString(0)
     assert(got == "x & y")
+  }
+
+  test("SimplifyOpenSchemaProjection folds props['k'] round-trips to the bare column") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Parquet-backed input: local literal relations would constant-fold via
+    // ConvertToLocalRelation regardless of the rule and prove nothing.
+    def roundTrip(s: org.apache.spark.sql.SparkSession) = {
+      val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      graft.ops.OpenSchema.allAttributes(docs, "doc_id")
+        .select(col("doc_id"), graft.ops.OpenSchema.prop("lang"),
+          graft.ops.OpenSchema.prop("n_chars", "long"))
+    }
+    val folded = roundTrip(spark)
+    val optimized = folded.queryExecution.optimizedPlan.toString
+    // The per-row map build + filter must be gone entirely.
+    assert(!optimized.contains("map_filter") && !optimized.contains("map("),
+      s"open-schema round-trip not folded:\n$optimized")
+    // Results identical to the direct projection.
+    val got = folded.as[(Long, String, Long)].collect().toSet
+    val want = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // Same query WITHOUT the rule keeps the map build (proves the built-ins
+    // alone don't fold it — the rule earns its place).
+    val plainPlan = roundTrip(SparkSpec.session)
+      .queryExecution.optimizedPlan.toString
+    assert(plainPlan.contains("map_filter"), plainPlan)
   }
 
   test("Catalyst built-ins already collapse redundant nested dedup (why we ship no custom rule)") {
