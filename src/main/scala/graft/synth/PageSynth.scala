@@ -214,6 +214,27 @@ object PageSynth {
           Plain(".")
         )
         // no golden triple — precision stress
+      } else if (kind < 0.67) {
+        // N-ary conjunction: `A <phrase> B and C .` — the predicate
+        // distributes over the conjuncts: (A,p,B) and (A,p,C).
+        val ea = Rng.nextZipf(seed, i, base + 1, NumEntities)
+        var eb = Rng.nextInt(seed, i, base + 2, NumEntities)
+        if (eb == ea) eb = (eb + 1) % NumEntities
+        var ec = Rng.nextInt(seed, i, base + 9, NumEntities)
+        if (ec == ea) ec = (ec + 1) % NumEntities
+        val (phrase, pred) = relations(Rng.nextInt(seed, i, base + 3, relations.size))
+        blocks += Vector(
+          Ment(entityName(ea), entityId(ea), 1.0),
+          Plain(phrase),
+          Ment(entityName(eb), entityId(eb), 1.0),
+          Plain("and"),
+          Ment(entityName(ec), entityId(ec), 1.0),
+          Plain(".")
+        )
+        triples += Triple(entityId(canonicalOf(ea)), pred,
+          entityId(canonicalOf(eb)), url, 1.0)
+        triples += Triple(entityId(canonicalOf(ea)), pred,
+          entityId(canonicalOf(ec)), url, 1.0)
       } else {
         // Filler sentence, optionally with one ambiguous bare-noun mention.
         val nWords = 5 + Rng.nextInt(seed, i, base + 1, 7)

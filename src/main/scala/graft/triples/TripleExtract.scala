@@ -46,6 +46,20 @@ object TripleExtract {
         val phrase = gap.trim
         phrases.get(phrase).foreach { pred =>
           out += RelCandidate(url, a.begin, b.begin, pred)
+          // N-ary conjunction: `A <phrase> B and C and D …` distributes the
+          // predicate over every conjunct — (A, pred, C), (A, pred, D).
+          // The conjunct gap must be exactly "and" (same block), so plain
+          // adjacent pairs (B, C) never match a phrase and stay silent.
+          var j = i + 2
+          var chained = true
+          while (chained && j < ms.length) {
+            val prev = ms(j - 1); val c = ms(j)
+            val g = text.substring(prev.end, c.begin)
+            if (!g.contains('\n') && g.trim == "and") {
+              out += RelCandidate(url, a.begin, c.begin, pred)
+              j += 1
+            } else chained = false
+          }
         }
       }
       i += 1

@@ -39,6 +39,23 @@ class CorefExtractSpec extends SparkSpec {
     assert(cands.isEmpty, s"hallucinated candidates: $cands")
   }
 
+  test("n-ary conjunction distributes the predicate over every conjunct") {
+    val text = "Page 3 about Acme Labs\n" +
+      "Acme Labs acquired Beta Corp and Gamma Inc .\n" +
+      "Beta Corp and Gamma Inc ." // bare conjunction, no phrase → nothing
+    val ms = Mentions.scanText("u", text, trie)
+    val cands = TripleExtract.allCandidates("u", text, ms, phrases)
+    val acquired = cands.filter(_.pred == "acquired")
+    assert(acquired.length == 2, s"got $acquired")
+    val subjStarts = acquired.map(c => text.substring(c.beginA).takeWhile(_ != ' ')).toSet
+    assert(subjStarts == Set("Acme")) // both triples share the subject
+    val objs = acquired.map(c =>
+      text.substring(c.beginB, c.beginB + 9)).toSet
+    assert(objs == Set("Beta Corp", "Gamma Inc"))
+    // The bare `B and C` sentence yields no candidates at all.
+    assert(cands.length == 2)
+  }
+
   test("coref ignores pages whose first mention is not in the title block") {
     val text = "no mentions here\nIt acquired Beta Corp ."
     val ms = Mentions.scanText("u", text, trie)
