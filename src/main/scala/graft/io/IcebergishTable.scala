@@ -239,6 +239,37 @@ object IcebergishTable {
   def exists(table: String): Boolean =
     Files.exists(dir(table).resolve("VERSION"))
 
+  /** True when the table currently has no data files at all (e.g. only a
+    * committer _SUCCESS marker) — readers must not assume parquet schema
+    * inference will work.
+    */
+  def hasNoDataFiles(table: String): Boolean = listDataFiles(table).isEmpty
+
+  /** Roll the table back to `snapshot`: delete every data file NOT in that
+    * snapshot's manifest and swap VERSION back (atomic). Idempotent — a
+    * crash mid-rollback just deletes fewer files and the retry finishes.
+    * The streaming sink uses this to undo an appended-but-unacked batch
+    * before replaying it.
+    */
+  def rollbackTo(table: String, snapshot: Int): Unit = {
+    val m = dir(table).resolve(s"snap-$snapshot.json")
+    if (!Files.exists(m)) throw new graft.SnapshotNotFound(table, snapshot)
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    val keep = """"files":\[(.*?)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+      .split(",").filter(_.nonEmpty)
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"")
+        .replace("\\\\", "\\"))
+      .toSet
+    listDataFiles(table).filterNot(keep).foreach { f =>
+      Files.deleteIfExists(dir(table).resolve(f))
+    }
+    val tmp = dir(table).resolve("VERSION.tmp")
+    Files.write(tmp, snapshot.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir(table).resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def drop(table: String): Unit = {
     val d = dir(table)
     if (Files.exists(d)) {

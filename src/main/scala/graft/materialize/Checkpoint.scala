@@ -92,9 +92,15 @@ object Checkpoint {
     val f = logFile(path)
     // A crash can leave a torn (newline-less) tail; start on a fresh line so
     // the first post-crash append isn't concatenated into the torn garbage.
-    val needsNl = Files.exists(f) && {
-      val bytes = Files.readAllBytes(f)
-      bytes.nonEmpty && bytes.last != '\n'.toByte
+    // O(1): read only the final byte, not the whole log.
+    val needsNl = Files.exists(f) && Files.size(f) > 0 && {
+      val ch = Files.newByteChannel(f, StandardOpenOption.READ)
+      try {
+        ch.position(ch.size() - 1)
+        val buf = java.nio.ByteBuffer.allocate(1)
+        ch.read(buf)
+        buf.get(0) != '\n'.toByte
+      } finally ch.close()
     }
     val payload = rows.map(toJson).mkString(if (needsNl) "\n" else "", "\n", "\n")
     Files.write(f, payload.getBytes(StandardCharsets.UTF_8),

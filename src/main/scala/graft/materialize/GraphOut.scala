@@ -46,6 +46,12 @@ object GraphOut {
     val expected: Map[Int, String] =
       rows.groupBy(_.part).view.mapValues(_.last.input_fingerprint).toMap
     val done = expected.keySet
+    // A table with NO data files at all (zero-row run, or a wholesale
+    // delete behind the checkpoint's back) must not crash schema inference:
+    // verify against an empty read-back — zero-row acks (fp "0") stay done,
+    // anything else demotes to pending and recomputes.
+    if (IcebergishTable.hasNoDataFiles(table))
+      return done.filter(p => expected(p) == "0")
     val actual = IcebergishTable.read(spark, table)
       .where(col(IcebergishTable.PartCol).isin(done.toSeq: _*))
       .groupBy(col(IcebergishTable.PartCol))

@@ -54,14 +54,20 @@ object Ann {
   /** Executor-side plane cache: the counter-based RNG makes planes a pure
     * function of (dim, nBits, seed), so every executor derives IDENTICAL
     * planes from the row's own vector length — no `head()` job to learn the
-    * dimension, nothing broadcast.
+    * dimension, nothing broadcast. Bounded: a healthy dataset has ONE
+    * dimension; ragged embedding lengths would otherwise both leak plane
+    * matrices and silently hash incomparable spaces, so more than a handful
+    * of distinct keys clears the cache (correctness is unaffected — planes
+    * are recomputed deterministically).
     */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
 
-  private[ops] def planesFor(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] =
+  private[ops] def planesFor(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    if (planeCache.size > 64) planeCache.clear()
     planeCache.computeIfAbsent((dim, nBits, seed),
       _ => hyperplanes(dim, nBits, seed))
+  }
 
   /** Sign-LSH bucket id of a vector. */
   private[ops] def bucketOf(v: Array[Double], planes: Array[Array[Double]]): Int = {

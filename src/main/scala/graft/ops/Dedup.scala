@@ -56,12 +56,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = maxDf match {
       case Some(cap) =>
-        // Drop ultra-frequent shingles (stopword-like skew) before the join.
+        // Drop ultra-frequent shingles (stopword-like skew) before the join,
+        // then RECOMPUTE per-doc set sizes over the kept shingles: jaccard
+        // must be the jaccard of the FILTERED sets — keeping the unfiltered
+        // denominator would bias scores toward 0 for boilerplate-heavy
+        // near-duplicates once the cap triggers.
         val dfreq = inv0.groupBy("shingle").count().where(col("count") <= cap)
           .select(col("shingle"))
-        // Re-select in (id, nsh, shingle) order: the USING join puts the
-        // join key first and downstream renames are positional.
-        inv0.join(dfreq, Seq("shingle"))
+        val kept = inv0.join(dfreq, Seq("shingle"))
+          .select(col("id"), col("shingle"))
+        val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+        // (id, nsh, shingle) order: downstream renames are positional.
+        kept.join(sizes, Seq("id"))
           .select(col("id"), col("nsh"), col("shingle"))
       case None => inv0
     }

@@ -58,10 +58,18 @@ object GraphCatalog {
     * DataFrame — nothing is hard-coded.
     */
   def named(catalog: DataFrame, graphName: String): GraphSpec = {
-    val defs = catalog.where(col("graph") === graphName)
+    // ONE action: collect the (tiny, filtered) definitions and derive both
+    // lists driver-side — isEmpty + two collects would run the catalog scan
+    // three times.
+    val rows = catalog.where(col("graph") === graphName)
       .select(col("collection"), col("from"), col("to"))
-    if (defs.isEmpty) throw new graft.GraphNotInCatalog(graphName)
-    fromDefinitions(graphName, defs)
+      .collect()
+    if (rows.isEmpty) throw new graft.GraphNotInCatalog(graphName)
+    GraphSpec(
+      graphName,
+      rows.map(_.getString(0)).distinct.sorted.toSeq,
+      rows.flatMap(r => r.getSeq[String](1) ++ r.getSeq[String](2))
+        .distinct.sorted.toSeq)
   }
 
   /** Custom-graph mode (the reference's `new_custom`,

@@ -134,8 +134,16 @@ final class GraftScan(path: String, dataSchema: StructType,
 
   override def toBatch: Batch = this
 
-  /** One InputPartition per (non-pruned, non-empty) bucket directory. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** One InputPartition per (non-pruned, non-empty) bucket directory.
+    * Planned once per scan — `outputPartitioning` and Spark's own
+    * `planInputPartitions` call would otherwise re-walk every bucket dir
+    * and re-stat every file (and could disagree if files changed between).
+    */
+  private lazy val plannedPartitions: Array[InputPartition] = planPartitions()
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  private def planPartitions(): Array[InputPartition] = {
     val dataDir = java.nio.file.Paths.get(path, "data")
     if (!java.nio.file.Files.isDirectory(dataDir)) return Array.empty
     val bucketDirs = {
@@ -175,8 +183,8 @@ final class GraftScan(path: String, dataSchema: StructType,
   override def outputPartitioning(): Partitioning = bucketSpec match {
     case Some((key, n)) =>
       new KeyGroupedPartitioning(Array(Expressions.bucket(n, key)),
-        planInputPartitions().length)
-    case None => new UnknownPartitioning(planInputPartitions().length)
+        plannedPartitions.length)
+    case None => new UnknownPartitioning(plannedPartitions.length)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

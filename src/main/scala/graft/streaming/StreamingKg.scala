@@ -63,29 +63,62 @@ object StreamingKg {
     spark.read.parquet(outDir)
   }
 
-  /** One idempotent micro-batch append into the bucketed Icebergish triple
-    * table: skip if this batchId is already acked (a foreachBatch may
-    * replay after a crash between our commit and the streaming engine's),
-    * otherwise dedup within the batch in one bucket exchange, append the
-    * files (committer-atomic), commit a snapshot, THEN ack the batch.
+  /** One exactly-once micro-batch append into the bucketed Icebergish
+    * triple table. Two-phase ack around the append closes BOTH crash
+    * windows of a replayed foreachBatch:
+    *
+    *   1. "pending" ack records the pre-append snapshot, THEN the batch's
+    *      deduped rows are appended (committer-atomic) and a new snapshot
+    *      committed, THEN the "done" ack lands.
+    *   2. On replay: done → no-op. Pending-without-done → the previous
+    *      attempt may have appended before crashing; roll the table back
+    *      to the recorded snapshot (delete files outside its manifest) and
+    *      redo. No ack at all → nothing was written; just run.
+    *
+    * Batch ids ride in `input_tag` (a Long — `part` is an Int bucket index
+    * and would truncate). Lineage counts are the BATCH's own deduped rows,
+    * not a whole-table rescan.
     */
   def appendBatch(batch: DataFrame, table: String, batchId: Long,
                   numParts: Int): Unit = {
+    import graft.io.IcebergishTable
+    import graft.materialize.{Checkpoint, GraphOut}
+    val spark = batch.sparkSession
     val ackPath = s"$table-acks"
-    val already = graft.materialize.Checkpoint.readRows(ackPath)
-      .exists(r => r.run_id == "stream" && r.stage == "append" &&
-        r.part == batchId.toInt && r.status == "done")
-    if (already || batch.isEmpty) return
-    val withPart = batch.withColumn(graft.io.IcebergishTable.PartCol,
-      graft.io.IcebergishTable.partExpr("subj", numParts))
-    val deduped = graft.materialize.GraphOut
-      .bucketedDedupPlan(withPart, numParts * 2,
-        Seq("subj", "pred", "obj", "url"))
-    graft.io.IcebergishTable.appendPrePartitioned(deduped, table, numParts, "subj")
-    val n = graft.io.IcebergishTable.read(batch.sparkSession, table).count()
-    graft.materialize.Checkpoint.append(batch.sparkSession, ackPath, Seq(
-      graft.CheckpointRow("stream", "append", batchId.toInt, "stream",
-        "-", n, n, 0L, "done")))
+    val tag = s"batch-$batchId"
+    val acks = Checkpoint.readRows(ackPath)
+      .filter(r => r.run_id == "stream" && r.stage == "append" &&
+        r.input_tag == tag)
+    if (acks.exists(_.status == "done")) return
+    acks.filter(_.status == "pending").lastOption.foreach { p =>
+      // Previous attempt crashed after possibly appending: undo it. A
+      // pre-append snapshot of -1 means the crashed attempt CREATED the
+      // table — undo is dropping it entirely.
+      val snap = p.input_fingerprint.toInt
+      if (snap >= 0 && IcebergishTable.currentSnapshot(table) > snap)
+        IcebergishTable.rollbackTo(table, snap)
+      else if (snap < 0 && IcebergishTable.exists(table))
+        IcebergishTable.drop(table)
+    }
+    if (batch.isEmpty) {
+      Checkpoint.append(spark, ackPath, Seq(graft.CheckpointRow(
+        "stream", "append", 0, tag, "-", 0L, 0L, 0L, "done")))
+      return
+    }
+    val preSnapshot = IcebergishTable.currentSnapshot(table)
+    Checkpoint.append(spark, ackPath, Seq(graft.CheckpointRow(
+      "stream", "append", 0, tag, preSnapshot.toString, 0L, 0L, 0L,
+      "pending")))
+    val withPart = batch.withColumn(IcebergishTable.PartCol,
+      IcebergishTable.partExpr("subj", numParts))
+    val deduped = GraphOut.bucketedDedupPlan(withPart, numParts * 2,
+      Seq("subj", "pred", "obj", "url"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = deduped.count() // this batch's rows, not a whole-table rescan
+    IcebergishTable.appendPrePartitioned(deduped, table, numParts, "subj")
+    deduped.unpersist(blocking = false)
+    Checkpoint.append(spark, ackPath, Seq(graft.CheckpointRow(
+      "stream", "append", 0, tag, preSnapshot.toString, n, n, 0L, "done")))
   }
 
   /** Incremental KG straight into the BUCKETED Icebergish edge table —

@@ -133,8 +133,10 @@ object PageSynth {
   /** `hubShare > 0` plants a pathological hub: that fraction of fact
     * sentences uses entity 0 as the subject (north_rule's "hub entity in
     * 50% of pages" skew case). Draws for the hub decision use a fresh index
-    * and are only taken when hubShare > 0, so hubShare = 0 reproduces the
-    * historical pages bit-for-bit.
+    * and are only taken when hubShare > 0, so hubShare = 0 reproduces THIS
+    * grammar version's corpus bit-for-bit (not round-1's — the round-2
+    * grammar added coref/negative/n-ary sentence kinds, which reshuffled
+    * all derived fixtures; every golden is recomputed, nothing is stored).
     */
   def page(seed: Long, i: Long, sentMin: Int = 3, sentSpread: Int = 5,
            hubShare: Double = 0.0): SynthPage = {

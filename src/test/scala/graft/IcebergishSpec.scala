@@ -137,4 +137,36 @@ class IcebergishSpec extends SparkSpec {
       .as[(String, String, String, String)].collect().toSet
     assert(got == batchSet)
   }
+
+  test("streaming append crash window: appended-but-unacked batch rolls back on replay") {
+    import spark.implicits._
+    import graft.io.IcebergishTable
+    val base = Files.createTempDirectory("graft-skgc").toString
+    val table = s"$base/edges"
+    val b0 = Seq(Triple("A", "p", "B", "u1", 1.0)).toDF
+    val b1 = Seq(Triple("C", "p", "D", "u2", 1.0),
+      Triple("E", "p", "F", "u3", 1.0)).toDF
+    StreamingKg.appendBatch(b0, table, 0L, 4)
+    val n0 = IcebergishTable.read(spark, table).count()
+    assert(n0 == 1)
+
+    // Simulate an attempt of batch 1 that crashed AFTER appending its files
+    // but BEFORE writing the done ack: pending ack + raw append, no done.
+    val pre = IcebergishTable.currentSnapshot(table)
+    graft.materialize.Checkpoint.append(spark, s"$table-acks", Seq(
+      CheckpointRow("stream", "append", 0, "batch-1", pre.toString,
+        0L, 0L, 0L, "pending")))
+    val deduped = graft.materialize.GraphOut.bucketedDedupPlan(
+      b1.withColumn(IcebergishTable.PartCol,
+        IcebergishTable.partExpr("subj", 4)), 8,
+      Seq("subj", "pred", "obj", "url"))
+    IcebergishTable.appendPrePartitioned(deduped, table, 4, "subj")
+    assert(IcebergishTable.read(spark, table).count() == 3) // orphan rows live
+
+    // Replay of batch 1 must roll the orphan append back, then apply once.
+    StreamingKg.appendBatch(b1, table, 1L, 4)
+    val rows = IcebergishTable.read(spark, table)
+      .select("subj").as[String].collect().toSeq.sorted
+    assert(rows == Seq("A", "C", "E"), s"duplicates after replay: $rows")
+  }
 }
