@@ -284,6 +284,15 @@ object SparkEntry {
         minCosine = 0.4)),
     "text_tokens" -> ((s, dir) =>
       ops.TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text")),
+    "text_subwords" -> ((s, dir) =>
+      // BPE-ish pre-tokenizer counts: letter runs, digit runs, single marks.
+      ops.TextAnalysis.subwordCounts(t(s, dir, "documents"), "doc_id", "text")),
+    "q_percentile" -> ((s, dir) =>
+      // Exact interpolated percentile (Spark `percentile` ≡ DuckDB
+      // quantile_cont: same sort + linear interpolation over int inputs).
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.5)").as("median_chars"),
+          expr("percentile(n_chars, 0.9)").as("p90_chars"))),
     "text_quality" -> ((s, dir) =>
       ops.TextAnalysis.qualityScores(t(s, dir, "documents"), "doc_id", "text")),
     "text_langid" -> ((s, dir) =>
@@ -522,6 +531,12 @@ object SparkEntry {
         "FROM documents)"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    "text_subwords" ->
+      ("SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_subwords " +
+        "FROM documents"),
+    "q_percentile" ->
+      ("SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars, " +
+        "quantile_cont(n_chars, 0.9) AS p90_chars FROM documents GROUP BY lang"),
     "kg_cc" -> {
       // Connected components in portable SQL: the sameAs edge list is a
       // pure function of the dictionary (PageSynth.sameAsPairs), embedded
