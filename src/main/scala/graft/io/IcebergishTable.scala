@@ -44,14 +44,38 @@ object IcebergishTable {
     else -1
   }
 
-  /** Data files currently under the table, relative paths, sorted. */
+  /** Files superseded by compaction: still on disk for older snapshots'
+    * time travel, but no longer part of the CURRENT table state. One
+    * relative path per line; [[expireSnapshots]] reclaims them.
+    */
+  private def tombstones(table: String): Set[String] = {
+    val t = dir(table).resolve("TOMBSTONES")
+    if (!Files.exists(t)) Set.empty
+    else new String(Files.readAllBytes(t), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSet
+  }
+
+  private def writeTombstones(table: String, files: Set[String]): Unit = {
+    val t = dir(table).resolve("TOMBSTONES")
+    if (files.isEmpty) Files.deleteIfExists(t)
+    else Files.write(t,
+      files.toSeq.sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** CURRENT data files (relative paths, sorted): on disk minus
+    * compaction tombstones.
+    */
   private def listDataFiles(table: String): Seq[String] = {
     val data = dir(table).resolve("data")
     if (!Files.exists(data)) Seq.empty
-    else Files.walk(data).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet"))
-      .map(p => dir(table).relativize(p).toString)
-      .toSeq.sorted
+    else {
+      val dead = tombstones(table)
+      Files.walk(data).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => dir(table).relativize(p).toString)
+        .filterNot(dead)
+        .toSeq.sorted
+    }
   }
 
   private def commit(table: String, snapshot: Int, schemaJson: String,
@@ -208,8 +232,32 @@ object IcebergishTable {
         Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
 
-  def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(dir(table).resolve("data").toString)
+  /** Current table state: the LIVE file set (on disk minus compaction
+    * tombstones), pinned at call time — snapshot-consistent like Iceberg,
+    * not a mutable directory view. Tables with zero live files read as a
+    * schema-typed empty frame (from the manifest), never a schema-inference
+    * error.
+    */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val files = listDataFiles(table)
+    if (files.nonEmpty)
+      spark.read
+        .option("basePath", dir(table).resolve("data").toString)
+        .parquet(files.map(f => dir(table).resolve(f).toString): _*)
+    else if (exists(table)) {
+      val (schemaJson, _) = manifestMeta(table)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } else
+      spark.read.parquet(dir(table).resolve("data").toString) // loud failure
+  }
+
+  /** Live (non-tombstoned) data files, relative to the table root — the
+    * DSv2 scan filters its bucket-directory listings against this.
+    */
+  def liveDataFiles(table: String): Set[String] = listDataFiles(table).toSet
 
   /** Time travel: read the table exactly as of `snapshot` (the file list
     * recorded in that snapshot's manifest). Dropped/compacted files that
@@ -268,6 +316,72 @@ object IcebergishTable {
     Files.write(tmp, snapshot.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir(table).resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Compact the table: rewrite current content as one fresh file set per
+    * bucket, TOMBSTONE every superseded file (still on disk — earlier
+    * snapshots keep time-traveling), and commit a new snapshot over the
+    * fresh files only. Reclaim tombstoned files with [[expireSnapshots]]
+    * (Iceberg's rewrite_data_files + expire_snapshots split). The
+    * streaming sink's maintenance valve: each micro-batch appends one file
+    * set per bucket, and unbounded appends otherwise degrade scans into
+    * small-file storms.
+    */
+  def compact(spark: SparkSession, table: String, numParts: Int,
+              keyCol: String = ""): Unit = {
+    val prevFiles = listDataFiles(table).toSet
+    val current = read(spark, table)
+      .repartition(numParts, col(PartCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    current.count() // materialize BEFORE the inputs are superseded
+    try {
+      // Fresh files land beside the old ones (append mode — deleting the
+      // old files would break older snapshots' time travel).
+      current.write
+        .mode(SaveMode.Append)
+        .partitionBy(PartCol)
+        .parquet(dir(table).resolve("data").toString)
+    } finally current.unpersist(blocking = false)
+    // Supersede the inputs, then commit: listDataFiles now yields exactly
+    // the fresh files, so the new manifest (and every later directory-based
+    // commit) excludes the compacted-away history.
+    writeTombstones(table, tombstones(table) ++ prevFiles)
+    commit(table, currentSnapshot(table) + 1,
+      read(spark, table).schema.json, 0 until numParts, 0L,
+      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None)
+  }
+
+  /** Physically delete tombstoned files referenced by NO retained snapshot
+    * and drop the expired manifests. The `keepLast` most recent snapshots
+    * survive (and keep time-traveling); older `readSnapshot` calls fail
+    * loudly afterwards — exactly Iceberg's expired-snapshot behavior.
+    */
+  def expireSnapshots(table: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val cur = currentSnapshot(table)
+    val keepFrom = math.max(0, cur - keepLast + 1)
+    val retained = (keepFrom to cur)
+      .flatMap(snapshotFiles(table, _)).toSet
+    val (reclaimable, stillNeeded) = tombstones(table)
+      .partition(f => !retained.contains(f))
+    reclaimable.foreach(f => Files.deleteIfExists(dir(table).resolve(f)))
+    writeTombstones(table, stillNeeded)
+    (0 until keepFrom).foreach { s =>
+      Files.deleteIfExists(dir(table).resolve(s"snap-$s.json"))
+    }
+  }
+
+  /** Relative data-file list recorded in a snapshot's manifest. */
+  private def snapshotFiles(table: String, snapshot: Int): Seq[String] = {
+    val m = dir(table).resolve(s"snap-$snapshot.json")
+    if (!Files.exists(m)) return Seq.empty
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    """"files":\[(.*?)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+      .split(",").filter(_.nonEmpty)
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"")
+        .replace("\\\\", "\\"))
+      .toSeq
   }
 
   def drop(table: String): Unit = {

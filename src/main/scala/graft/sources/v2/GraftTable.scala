@@ -146,6 +146,10 @@ final class GraftScan(path: String, dataSchema: StructType,
   private def planPartitions(): Array[InputPartition] = {
     val dataDir = java.nio.file.Paths.get(path, "data")
     if (!java.nio.file.Files.isDirectory(dataDir)) return Array.empty
+    // Only LIVE files: compaction tombstones stay on disk for older
+    // snapshots' time travel but are not current table state.
+    val root = java.nio.file.Paths.get(path)
+    val live = IcebergishTable.liveDataFiles(path)
     val bucketDirs = {
       val s = java.nio.file.Files.list(dataDir)
       try s.iterator().asScala
@@ -166,6 +170,7 @@ final class GraftScan(path: String, dataSchema: StructType,
         val s = java.nio.file.Files.list(d)
         val files = try s.iterator().asScala
           .filter(_.toString.endsWith(".parquet"))
+          .filter(f => live.contains(root.relativize(f).toString))
           .toArray.sortBy(_.toString)
           .map { f =>
             val size = java.nio.file.Files.size(f)

@@ -138,6 +138,46 @@ class IcebergishSpec extends SparkSpec {
     assert(got == batchSet)
   }
 
+  test("compaction tombstones superseded files; time travel survives until snapshots expire") {
+    import spark.implicits._
+    import graft.io.IcebergishTable
+    val base = Files.createTempDirectory("graft-compact").toString
+    val table = s"$base/edges"
+    (0 until 3).foreach { b =>
+      StreamingKg.appendBatch(
+        Seq(Triple(s"A$b", "p", s"B$b", s"u$b", 1.0),
+          Triple(s"C$b", "p", s"D$b", s"v$b", 1.0)).toDF,
+        table, b.toLong, 4)
+    }
+    val before = IcebergishTable.read(spark, table)
+      .select("subj").as[String].collect().toSet
+    assert(before.size == 6)
+    val preSnap = IcebergishTable.currentSnapshot(table)
+    val filesBefore = IcebergishTable.liveDataFiles(table).size
+    assert(filesBefore > 4, s"appends should accumulate files: $filesBefore")
+
+    IcebergishTable.compact(spark, table, 4, "subj")
+    // Content identical, live files collapsed to ≤ one per bucket.
+    val after = IcebergishTable.read(spark, table)
+      .select("subj").as[String].collect().toSet
+    assert(after == before)
+    assert(IcebergishTable.liveDataFiles(table).size <= 4)
+    // Pre-compaction snapshot still time-travels (old files tombstoned,
+    // not deleted).
+    val travel = IcebergishTable.readSnapshot(spark, table, preSnap)
+      .select("subj").as[String].collect().toSet
+    assert(travel == before)
+
+    // Expiry reclaims the tombstoned files; current read unaffected,
+    // expired manifests gone.
+    IcebergishTable.expireSnapshots(table, keepLast = 1)
+    assert(IcebergishTable.read(spark, table)
+      .select("subj").as[String].collect().toSet == before)
+    intercept[SnapshotNotFound] {
+      IcebergishTable.readSnapshot(spark, table, preSnap)
+    }
+  }
+
   test("streaming append crash window: appended-but-unacked batch rolls back on replay") {
     import spark.implicits._
     import graft.io.IcebergishTable
