@@ -371,8 +371,11 @@ object IcebergishTable {
     }
   }
 
-  /** Relative data-file list recorded in a snapshot's manifest. */
-  private def snapshotFiles(table: String, snapshot: Int): Seq[String] = {
+  /** Relative data-file list recorded in a snapshot's manifest (empty when
+    * the manifest is missing/expired). Public for the DSv2 catalog's
+    * time-travel reads.
+    */
+  def snapshotFiles(table: String, snapshot: Int): Seq[String] = {
     val m = dir(table).resolve(s"snap-$snapshot.json")
     if (!Files.exists(m)) return Seq.empty
     val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)

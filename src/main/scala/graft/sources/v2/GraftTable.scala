@@ -52,13 +52,18 @@ final class GraftTable(ident: String, path: String)
     case None => Array.empty
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema, dataSchema, bucketSpec)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Time travel: .option("snapshot", n) pins the scan to that manifest's
+    // file list (expired snapshots fail loudly at planning).
+    val snapshot = Option(options.get("snapshot")).map(_.toInt)
+    new GraftScanBuilder(path, tableSchema, dataSchema, bucketSpec, snapshot)
+  }
 }
 
 final class GraftScanBuilder(path: String, tableSchema: StructType,
                              dataSchema: StructType,
-                             bucketSpec: Option[(String, Int)])
+                             bucketSpec: Option[(String, Int)],
+                             snapshot: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -102,7 +107,7 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
 
   override def build(): Scan =
     new GraftScan(path, dataSchema, requiredSchema, bucketSpec,
-      prunedBuckets, dataFilters)
+      prunedBuckets, dataFilters, snapshot)
 }
 
 /** A bucket's worth of files, keyed for storage-partitioned joins. */
@@ -117,7 +122,8 @@ final class GraftScan(path: String, dataSchema: StructType,
                       requiredSchema: StructType,
                       bucketSpec: Option[(String, Int)],
                       prunedBuckets: Option[Set[Int]],
-                      dataFilters: Array[Filter])
+                      dataFilters: Array[Filter],
+                      snapshot: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning {
 
   private val needsPart =
@@ -146,10 +152,17 @@ final class GraftScan(path: String, dataSchema: StructType,
   private def planPartitions(): Array[InputPartition] = {
     val dataDir = java.nio.file.Paths.get(path, "data")
     if (!java.nio.file.Files.isDirectory(dataDir)) return Array.empty
-    // Only LIVE files: compaction tombstones stay on disk for older
-    // snapshots' time travel but are not current table state.
+    // Current reads see only LIVE files (compaction tombstones stay on
+    // disk for time travel but are not current state); a snapshot-pinned
+    // read sees exactly that manifest's file list.
     val root = java.nio.file.Paths.get(path)
-    val live = IcebergishTable.liveDataFiles(path)
+    val live: Set[String] = snapshot match {
+      case Some(s) =>
+        val fs = IcebergishTable.snapshotFiles(path, s)
+        if (fs.isEmpty) throw new graft.SnapshotNotFound(path, s)
+        fs.toSet
+      case None => IcebergishTable.liveDataFiles(path)
+    }
     val bucketDirs = {
       val s = java.nio.file.Files.list(dataDir)
       try s.iterator().asScala

@@ -78,6 +78,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(df.count() == full && full > 0)
   }
 
+  test("time travel through the catalog: option(snapshot) pins the manifest's files") {
+    warehouse
+    import spark.implicits._
+    val table = s"$warehouse/tt"
+    IcebergishTable.write(
+      spark.range(0, 10).select(col("id").cast("string").as("k"), col("id").as("v")),
+      table, "k", 4)
+    val snap0 = IcebergishTable.currentSnapshot(table)
+    IcebergishTable.write(
+      spark.range(10, 25).select(col("id").cast("string").as("k"), col("id").as("v")),
+      table, "k", 4, org.apache.spark.sql.SaveMode.Append)
+    val now = spark.read.table("graft.tt").as[(String, Long, Int)].collect()
+    assert(now.length == 25)
+    val travel = spark.read.option("snapshot", snap0.toString)
+      .table("graft.tt").select("v").as[Long].collect().toSet
+    assert(travel == (0L until 10L).toSet, s"snapshot read wrong: $travel")
+    intercept[SnapshotNotFound] {
+      spark.read.option("snapshot", "99").table("graft.tt").count()
+    }
+  }
+
   test("bucket-key join between co-bucketed tables plans with ZERO exchanges (storage-partitioned join)") {
     warehouse
     import spark.implicits._
