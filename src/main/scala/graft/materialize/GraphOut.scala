@@ -247,7 +247,11 @@ object GraphOut {
           if (restCols.isEmpty)
             sub.groupBy(keyCols.map(col): _*).agg(count(lit(1))).drop("count(1)")
           else {
-            val aggs = restCols.map(c => first(col(c)).as(c))
+            // max, not first: first() is arrival-order-dependent, so two
+            // duplicate rows differing only in a non-key column (e.g. the
+            // same triple witnessed at conf 0.9 and 1.0) would flap across
+            // runs/parallelism. max is order-free and deterministic.
+            val aggs = restCols.map(c => max(col(c)).as(c))
             sub.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
           }
         grouped.select(sub.columns.map(col).toIndexedSeq: _*)
@@ -265,7 +269,7 @@ object GraphOut {
         if (restCols.isEmpty)
           sub.groupBy(keyCols.map(col): _*).agg(count(lit(1))).drop("count(1)")
         else {
-          val aggs = restCols.map(c => first(col(c)).as(c))
+          val aggs = restCols.map(c => max(col(c)).as(c)) // order-free
           sub.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
         }
       grouped.select(withPart.columns.map(col).toIndexedSeq: _*)
