@@ -62,8 +62,20 @@ object IcebergishTable {
       files.toSeq.sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
   }
 
+  /** True when any component of the (relative) path is hidden by Hadoop
+    * convention: the output committer stages task files under `_temporary`
+    * (and writes `.`-prefixed CRCs). A crashed or concurrent write leaves
+    * staged files there — treating them as data would commit partial or
+    * duplicate rows into the next snapshot's manifest.
+    */
+  private def isHiddenPath(rel: Path): Boolean =
+    rel.iterator().asScala.exists { seg =>
+      val s = seg.getFileName.toString
+      s.startsWith("_") || s.startsWith(".")
+    }
+
   /** CURRENT data files (relative paths, sorted): on disk minus
-    * compaction tombstones.
+    * compaction tombstones minus committer staging/hidden paths.
     */
   private def listDataFiles(table: String): Seq[String] = {
     val data = dir(table).resolve("data")
@@ -72,7 +84,9 @@ object IcebergishTable {
       val dead = tombstones(table)
       Files.walk(data).iterator().asScala
         .filter(p => p.toString.endsWith(".parquet"))
-        .map(p => dir(table).relativize(p).toString)
+        .map(p => dir(table).relativize(p))
+        .filterNot(isHiddenPath)
+        .map(_.toString)
         .filterNot(dead)
         .toSeq.sorted
     }
@@ -309,13 +323,27 @@ object IcebergishTable {
       .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"")
         .replace("\\\\", "\\"))
       .toSet
+    val priorCurrent = currentSnapshot(table)
     listDataFiles(table).filterNot(keep).foreach { f =>
       Files.deleteIfExists(dir(table).resolve(f))
     }
+    // Tombstone bookkeeping must follow the table back in time: rolling
+    // back over a compaction lands on a manifest whose files ARE the
+    // tombstoned ones — leaving them in TOMBSTONES would make the restored
+    // state read back empty/partial (read(), DSv2 scans, and every later
+    // directory-derived commit exclude tombstoned files). Files the target
+    // manifest references are live again by definition.
+    writeTombstones(table, tombstones(table) -- keep)
     val tmp = dir(table).resolve("VERSION.tmp")
     Files.write(tmp, snapshot.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir(table).resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // Rolled-back-over manifests are dead history: the next commit would
+    // overwrite snap-(snapshot+1) anyway, and keeping the rest would leave
+    // phantom future snapshots pointing at deleted files.
+    ((snapshot + 1) to math.max(snapshot, priorCurrent)).foreach { s =>
+      Files.deleteIfExists(dir(table).resolve(s"snap-$s.json"))
+    }
   }
 
   /** Compact the table: rewrite current content as one fresh file set per

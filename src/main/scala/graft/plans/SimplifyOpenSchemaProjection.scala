@@ -29,8 +29,14 @@ object SimplifyOpenSchemaProjection extends Rule[LogicalPlan] {
 
   private type Entry = (Literal, Expression)
 
-  /** (key literal → value expr) pairs when ALL keys are foldable literals
-    * and pairwise distinct — the shape OpenSchema emits.
+  /** (key literal → value expr) pairs when ALL keys are foldable literals,
+    * pairwise distinct, and every value expression is deterministic — the
+    * shape OpenSchema emits. The fold below duplicates a value expression
+    * into both the bound predicate and the If result; a non-deterministic
+    * value (e.g. rand()) would evaluate twice with different results,
+    * diverging from map_filter's build-the-map-once-per-row semantics, so
+    * such maps are left alone (Catalyst convention for expression-
+    * duplicating rules).
     */
   private def literalEntries(entries: Seq[Expression]): Option[Seq[Entry]] = {
     if (entries.length % 2 != 0) return None
@@ -38,6 +44,7 @@ object SimplifyOpenSchemaProjection extends Rule[LogicalPlan] {
     val lits = kv.collect { case (k: Literal, v) => (k, v) }
     if (lits.length != kv.length) return None
     if (lits.map(_._1.value).distinct.length != lits.length) return None
+    if (!lits.forall(_._2.deterministic)) return None
     Some(lits)
   }
 
@@ -48,7 +55,7 @@ object SimplifyOpenSchemaProjection extends Rule[LogicalPlan] {
   private def mapDefOf(e: Expression): Option[MapDef] = e match {
     case MapFilter(CreateMap(entries, _),
         LambdaFunction(pred, Seq(k: NamedLambdaVariable,
-          v: NamedLambdaVariable), _)) =>
+          v: NamedLambdaVariable), _)) if pred.deterministic =>
       literalEntries(entries).map(MapDef(_, pred, k, v))
     case _ => None
   }

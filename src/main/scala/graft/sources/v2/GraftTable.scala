@@ -82,12 +82,21 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
     * so those filters are fully consumed; data filters go to the parquet
     * reader for row-group pruning but stay residual (stats pruning is
     * best-effort).
+    *
+    * A filter only counts as a part filter when its value(s) actually ARE
+    * Ints — the part column's storage type. Any other shape (e.g. a Long
+    * from an implicit cast by a future caller) stays residual: Spark then
+    * evaluates it post-scan, degrading to slow-but-correct instead of the
+    * old behavior of consuming it with `Set.empty` and silently pruning
+    * every bucket (VERDICT r2 finding #3).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (partFilters, rest) = filters.partition {
-      case EqualTo(c, _) => c == IcebergishTable.PartCol
-      case EqualNullSafe(c, _) => c == IcebergishTable.PartCol
-      case In(c, _) => c == IcebergishTable.PartCol
+      case EqualTo(c, _: Int) => c == IcebergishTable.PartCol
+      case EqualNullSafe(c, _: Int) => c == IcebergishTable.PartCol
+      case In(c, vs) =>
+        c == IcebergishTable.PartCol && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Int])
       case _ => false
     }
     if (partFilters.nonEmpty) {
@@ -95,7 +104,7 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
         case EqualTo(_, v: Int) => Set(v)
         case EqualNullSafe(_, v: Int) => Set(v)
         case In(_, vs) => vs.collect { case v: Int => v }.toSet
-        case _ => Set.empty[Int]
+        case _ => Set.empty[Int] // unreachable: partition() above is typed
       }.reduce(_ intersect _)
       prunedBuckets = Some(keep)
     }

@@ -91,14 +91,20 @@ object StreamingKg {
         r.input_tag == tag)
     if (acks.exists(_.status == "done")) return
     acks.filter(_.status == "pending").lastOption.foreach { p =>
-      // Previous attempt crashed after possibly appending: undo it. A
-      // pre-append snapshot of -1 means the crashed attempt CREATED the
-      // table — undo is dropping it entirely.
+      // Previous attempt crashed after possibly appending: undo it
+      // UNCONDITIONALLY. Gating on currentSnapshot > snap would miss the
+      // window where the parquet job committed its files into the bucket
+      // dirs but the manifest/VERSION swap never ran (currentSnapshot still
+      // == snap, orphan files on disk) — the redo would then append the
+      // batch twice and the next directory-derived manifest would include
+      // both attempts' files. rollbackTo is idempotent: it deletes exactly
+      // the live files outside `snap`'s manifest (a no-op when the crashed
+      // attempt wrote nothing) and restores VERSION. A pre-append snapshot
+      // of -1 means the crashed attempt CREATED the table — undo is
+      // dropping the directory entirely (including uncommitted orphans).
       val snap = p.input_fingerprint.toInt
-      if (snap >= 0 && IcebergishTable.currentSnapshot(table) > snap)
-        IcebergishTable.rollbackTo(table, snap)
-      else if (snap < 0 && IcebergishTable.exists(table))
-        IcebergishTable.drop(table)
+      if (snap >= 0) IcebergishTable.rollbackTo(table, snap)
+      else IcebergishTable.drop(table)
     }
     if (batch.isEmpty) {
       Checkpoint.append(spark, ackPath, Seq(graft.CheckpointRow(

@@ -65,6 +65,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(plainPlan.contains("map_filter"), plainPlan)
   }
 
+  test("SimplifyOpenSchemaProjection leaves non-deterministic map values alone") {
+    import org.apache.spark.sql.functions._
+    // The fold duplicates the entry's value expression into predicate and
+    // result — for rand() that would mean two different draws per row,
+    // diverging from map_filter's build-once semantics. The rule must not
+    // fire (round-2 ADVICE low #5).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.select(col("doc_id"),
+      map_filter(map(lit("a"), rand()), (_, v) => v > lit(0.5))
+        .getItem("a").as("x"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("map_filter"),
+      s"rule illegally folded a non-deterministic map value:\n$optimized")
+  }
+
   test("Catalyst built-ins already collapse redundant nested dedup (why we ship no custom rule)") {
     import spark.implicits._
     val df = Seq(("a", "x", 1), ("a", "x", 2), ("b", "y", 3))

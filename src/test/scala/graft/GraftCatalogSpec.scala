@@ -78,6 +78,34 @@ class GraftCatalogSpec extends SparkSpec {
     assert(df.count() == full && full > 0)
   }
 
+  test("mis-typed part predicate stays residual — no silent over-pruning") {
+    warehouse
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val tbl = new graft.sources.v2.GraftTable("edges", s"$warehouse/edges")
+
+    // A Long-valued part filter (e.g. from an implicit cast) must NOT be
+    // consumed: the old code classified it as a part filter, extracted
+    // Set.empty, and pruned every bucket — zero rows instead of correct
+    // results. Now it stays residual and the scan covers all buckets.
+    val sbLong = tbl.newScanBuilder(CaseInsensitiveStringMap.empty())
+      .asInstanceOf[graft.sources.v2.GraftScanBuilder]
+    val residual = sbLong.pushFilters(Array(
+      EqualTo(IcebergishTable.PartCol, 5L),
+      In(IcebergishTable.PartCol, Array[Any](1L, 2L))))
+    assert(residual.length == 2, residual.mkString(","))
+    val partsLong = sbLong.build().toBatch.planInputPartitions()
+    assert(partsLong.length == 8, s"over-pruned: ${partsLong.length} buckets")
+
+    // The well-typed Int shape still prunes exactly and is consumed.
+    val sbInt = tbl.newScanBuilder(CaseInsensitiveStringMap.empty())
+      .asInstanceOf[graft.sources.v2.GraftScanBuilder]
+    val residualInt = sbInt.pushFilters(Array(
+      In(IcebergishTable.PartCol, Array[Any](3, 4))))
+    assert(residualInt.isEmpty)
+    assert(sbInt.build().toBatch.planInputPartitions().length == 2)
+  }
+
   test("time travel through the catalog: option(snapshot) pins the manifest's files") {
     warehouse
     import spark.implicits._

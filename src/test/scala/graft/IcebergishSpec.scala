@@ -178,6 +178,96 @@ class IcebergishSpec extends SparkSpec {
     }
   }
 
+  test("committer staging files (_temporary) are never treated as data") {
+    import spark.implicits._
+    import graft.io.IcebergishTable
+    val base = Files.createTempDirectory("graft-staged").toString
+    val table = s"$base/t"
+    IcebergishTable.write(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), table, "k", 4)
+    val n0 = IcebergishTable.read(spark, table).count()
+
+    // Plant a staged task file the way a crashed/concurrent write would
+    // leave it: a real parquet file under data/part=0/_temporary/... .
+    val live = IcebergishTable.liveDataFiles(table).head
+    val staged = java.nio.file.Paths.get(table,
+      "data", s"${IcebergishTable.PartCol}=0", "_temporary", "0",
+      "task_000", "part-staged.parquet")
+    Files.createDirectories(staged.getParent)
+    Files.copy(java.nio.file.Paths.get(table, live), staged)
+
+    // Current reads skip it; the next directory-derived commit must not
+    // record it in the new manifest either.
+    assert(IcebergishTable.read(spark, table).count() == n0)
+    IcebergishTable.write(Seq(("c", 3L)).toDF("k", "v"), table, "k", 4,
+      org.apache.spark.sql.SaveMode.Append)
+    assert(IcebergishTable.read(spark, table).count() == n0 + 1)
+    val snap = IcebergishTable.currentSnapshot(table)
+    assert(!IcebergishTable.snapshotFiles(table, snap)
+      .exists(_.contains("_temporary")),
+      "staged file leaked into the snapshot manifest")
+  }
+
+  test("rollback over a compaction un-tombstones the restored snapshot's files") {
+    import spark.implicits._
+    import graft.io.IcebergishTable
+    val base = Files.createTempDirectory("graft-rbcomp").toString
+    val table = s"$base/t"
+    IcebergishTable.write(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), table, "k", 4)
+    IcebergishTable.write(Seq(("c", 3L)).toDF("k", "v"), table, "k", 4,
+      org.apache.spark.sql.SaveMode.Append)
+    val preCompact = IcebergishTable.currentSnapshot(table)
+    IcebergishTable.compact(spark, table, 4, "k")
+    IcebergishTable.write(Seq(("d", 4L)).toDF("k", "v"), table, "k", 4,
+      org.apache.spark.sql.SaveMode.Append)
+    val top = IcebergishTable.currentSnapshot(table)
+
+    // Roll back BEHIND the compaction: its input files were tombstoned,
+    // but they ARE the restored snapshot's live set — read() must see them
+    // again (round-2 ADVICE: stale TOMBSTONES made the table read empty).
+    IcebergishTable.rollbackTo(table, preCompact)
+    assert(IcebergishTable.currentSnapshot(table) == preCompact)
+    val got = IcebergishTable.read(spark, table)
+      .select("k").as[String].collect().toSet
+    assert(got == Set("a", "b", "c"), s"rolled-back read wrong: $got")
+    // Rolled-back-over manifests are gone; a fresh append restarts the chain.
+    ((preCompact + 1) to top).foreach { s =>
+      intercept[SnapshotNotFound] { IcebergishTable.readSnapshot(spark, table, s) }
+    }
+    IcebergishTable.write(Seq(("e", 5L)).toDF("k", "v"), table, "k", 4,
+      org.apache.spark.sql.SaveMode.Append)
+    assert(IcebergishTable.read(spark, table)
+      .select("k").as[String].collect().toSet == Set("a", "b", "c", "e"))
+  }
+
+  test("streaming crash BETWEEN parquet commit and manifest swap: replay still exactly-once") {
+    import spark.implicits._
+    import graft.io.IcebergishTable
+    val base = Files.createTempDirectory("graft-skgc2").toString
+    val table = s"$base/edges"
+    StreamingKg.appendBatch(Seq(Triple("A", "p", "B", "u1", 1.0)).toDF, table, 0L, 4)
+    val pre = IcebergishTable.currentSnapshot(table)
+
+    // Simulate batch 1 crashing AFTER its parquet job committed files into
+    // the bucket dirs but BEFORE commit() wrote the manifest/VERSION:
+    // pending ack + raw file append, no new snapshot. (Round-2 ADVICE high:
+    // the old snapshot-advanced guard missed this window entirely.)
+    val b1 = Seq(Triple("C", "p", "D", "u2", 1.0)).toDF
+    graft.materialize.Checkpoint.append(spark, s"$table-acks", Seq(
+      CheckpointRow("stream", "append", 0, "batch-1", pre.toString,
+        0L, 0L, 0L, "pending")))
+    b1.withColumn(IcebergishTable.PartCol, IcebergishTable.partExpr("subj", 4))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy(IcebergishTable.PartCol)
+      .parquet(s"$table/data")
+    assert(IcebergishTable.currentSnapshot(table) == pre) // no manifest landed
+
+    // Replay must sweep the orphaned first-attempt files, then apply once.
+    StreamingKg.appendBatch(b1, table, 1L, 4)
+    val rows = IcebergishTable.read(spark, table)
+      .select("subj").as[String].collect().toSeq.sorted
+    assert(rows == Seq("A", "C"), s"duplicates after replay: $rows")
+  }
+
   test("streaming append crash window: appended-but-unacked batch rolls back on replay") {
     import spark.implicits._
     import graft.io.IcebergishTable
