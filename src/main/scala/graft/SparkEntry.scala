@@ -200,29 +200,13 @@ object SparkEntry {
     }),
     "dedup_minhash_sketch" -> ((s, dir) => {
       // Custom Aggregator: per-source corpus minhash sketch (element-wise
-      // min is the exact sketch of the shingle-set union), then pairwise
-      // similarity estimates between sources.
-      import s.implicits._
-      val sigs = t(s, dir, "documents")
-        .select(col("source"), col("text"))
-        .as[(String, String)]
-        .map { case (src, text) =>
-          (src, ops.Signatures.minhash(ops.Signatures.shingles(text, 3), 128))
-        }
-        .toDF("source", "sig")
-      val sketches = sigs.groupBy(col("source"))
-        .agg(ops.MinHashAgg.column(col("sig")).as("sketch"))
-      // Pairwise estimates as a distributed self-join over the sketch table
-      // (one sketch per group — G² pairs is the operator's contract; at
-      // G ≫ 10³ you'd LSH-bucket the sketches first, see Dedup).
-      sketches.toDF("src_a", "ka")
-        .crossJoin(sketches.toDF("src_b", "kb"))
-        .where(col("src_a") < col("src_b"))
-        .as[(String, Array[Long], String, Array[Long])]
-        .map { case (sa, ka, sb, kb) =>
-          (sa, sb, math.rint(ops.MinHashAgg.estimateJaccard(ka, kb) * 1e4) / 1e4)
-        }
-        .toDF("src_a", "src_b", "est_jaccard")
+      // min is the exact sketch of the shingle-set union), then BANDED
+      // pairing of the sketches themselves — never the G² cross join
+      // (that remains only as Dedup.minhashSketchPairsAllPairs, the
+      // small-G oracle path OpsSpec checks equality against).
+      val sketches = ops.Dedup.minhashSketches(
+        t(s, dir, "documents"), "source", "text")
+      ops.Dedup.minhashSketchPairs(sketches)
         .orderBy(col("est_jaccard").desc, col("src_a"), col("src_b"))
     }),
     "q_join_salted" -> ((s, dir) => {
@@ -342,20 +326,33 @@ object SparkEntry {
       // KG, register the workDir as a catalog warehouse, join edges to
       // vertices on the bucket key (plans with zero exchanges — asserted
       // in GraftCatalogSpec; here the driver checks the result shape).
+      // Session hygiene: the catalog/bucketing confs are restored to what
+      // they were — materialize eagerly (localCheckpoint) first, so the
+      // restore cannot re-plan the query.
       val dir = java.nio.file.Files.createTempDirectory("graft-spj").toString
       Pipeline.build(s, PipelineConfig(seed = 42L, nPages = 200L,
         partitions = 4, outputBuckets = 8, workDir = dir, runId = "spj"))
+      val touched = Seq("spark.sql.catalog.graft_q",
+        "spark.sql.catalog.graft_q.warehouse",
+        "spark.sql.sources.v2.bucketing.enabled")
+      val saved = touched.map(k => k -> s.conf.getOption(k))
       s.conf.set("spark.sql.catalog.graft_q",
         classOf[graft.sources.v2.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.graft_q.warehouse", dir)
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      val e = s.table("graft_q.edges")
-      val v = s.table("graft_q.vertices")
-      e.join(v, e("subj") === v("id"))
-        .groupBy(v("id").as("id"))
-        .agg(count(lit(1)).as("out_triples"),
-          first(v("props")("degree").cast("long")).as("degree"))
-        .orderBy(col("id"))
+      try {
+        val e = s.table("graft_q.edges")
+        val v = s.table("graft_q.vertices")
+        e.join(v, e("subj") === v("id"))
+          .groupBy(v("id").as("id"))
+          .agg(count(lit(1)).as("out_triples"),
+            first(v("props")("degree").cast("long")).as("degree"))
+          .orderBy(col("id"))
+          .localCheckpoint() // eager: executes the SPJ plan NOW
+      } finally saved.foreach {
+        case (k, Some(prev)) => s.conf.set(k, prev)
+        case (k, None) => s.conf.unset(k)
+      }
     }),
     "kg_checkpoint" -> ((s, _) => {
       // Run a small checkpointed build and return its lineage table.

@@ -120,12 +120,29 @@ object IcebergishTable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Reject a write whose bucket layout disagrees with the table's
+    * committed spec: files hashed with a different (key, n) would land in
+    * buckets that no longer agree with the transform the catalog reports,
+    * silently corrupting storage-partitioned joins and bucket pruning.
+    */
+  private def requireSpecMatch(table: String, keyCol: String,
+                               numParts: Int): Unit =
+    if (exists(table)) manifestMeta(table)._2.foreach { case (k, n) =>
+      if (k != keyCol || n != numParts)
+        throw new graft.BucketSpecMismatch(table, s"($k, $n)",
+          s"($keyCol, $numParts)")
+    }
+
   /** Write `df` hash-bucketed on `keyCol` into `numParts` partitions,
-    * creating a new snapshot. `mode` Overwrite replaces the whole table;
-    * Append adds files to existing buckets (new snapshot either way).
+    * creating a new snapshot. `mode` Overwrite replaces the whole table
+    * (including any compaction tombstones — it is a re-create); Append adds
+    * files to existing buckets (new snapshot either way) and must match the
+    * committed bucket spec.
     */
   def write(df: DataFrame, table: String, keyCol: String, numParts: Int,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Append) requireSpecMatch(table, keyCol, numParts)
+    else writeTombstones(table, Set.empty)
     // Repartition on the bucket column first: without it every input
     // partition writes a file into every bucket directory (numParts ×
     // inputParts tiny files — measured 7× slower at 2.8M rows).
@@ -148,6 +165,7 @@ object IcebergishTable {
     */
   def writePrePartitioned(df: DataFrame, table: String, numParts: Int,
                           keyCol: String = ""): Unit = {
+    if (keyCol.nonEmpty) requireSpecMatch(table, keyCol, numParts)
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -175,6 +193,7 @@ object IcebergishTable {
     */
   def appendPrePartitioned(df: DataFrame, table: String, numParts: Int,
                            keyCol: String = ""): Unit = {
+    if (keyCol.nonEmpty) requireSpecMatch(table, keyCol, numParts)
     df.write
       .mode(SaveMode.Append)
       .partitionBy(PartCol)
@@ -187,6 +206,7 @@ object IcebergishTable {
   /** Overwrite only the listed partitions (idempotent resume unit). */
   def overwritePartitions(df: DataFrame, table: String, keyCol: String,
                           numParts: Int, parts: Seq[Int]): Unit = {
+    requireSpecMatch(table, keyCol, numParts)
     val withPart = df
       .withColumn(PartCol, partExpr(keyCol, numParts))
       .where(col(PartCol).isin(parts: _*))
@@ -212,23 +232,62 @@ object IcebergishTable {
   /** Parsed current-snapshot manifest metadata for the DSv2 catalog:
     * (schema json, bucket key, bucket count). Tables written before bucket
     * metadata existed return None for the spec (reported unpartitioned).
+    * A torn or hand-mangled manifest raises the typed
+    * [[graft.ManifestCorrupted]] instead of a raw parse exception.
     */
   def manifestMeta(table: String): (String, Option[(String, Int)]) = {
     val snap = currentSnapshot(table)
     if (snap < 0) throw new graft.TableNotFound(table)
-    val json = new String(
-      Files.readAllBytes(dir(table).resolve(s"snap-$snap.json")),
-      StandardCharsets.UTF_8)
+    val m = dir(table).resolve(s"snap-$snap.json")
+    if (!Files.exists(m))
+      throw new graft.ManifestCorrupted(table, snap,
+        "VERSION points at a missing manifest")
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
     // "schema": is always the final manifest field (see commit above).
     val schemaIdx = json.indexOf("\"schema\":")
+    if (schemaIdx < 0)
+      throw new graft.ManifestCorrupted(table, snap, "missing \"schema\" field")
     val schemaJson = json.substring(schemaIdx + "\"schema\":".length,
       json.length - 1)
+    try {
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+    } catch {
+      case e: Exception =>
+        throw new graft.ManifestCorrupted(table, snap,
+          s"unparseable schema json (${e.getMessage})")
+    }
     val spec = for {
       k <- """"bucket_key":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
       n <- """"buckets":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
     } yield (k, n)
     (schemaJson, spec)
+  }
+
+  /** Committed bucket spec (key, buckets) of the current snapshot, if any. */
+  def bucketSpecOf(table: String): Option[(String, Int)] =
+    if (!exists(table)) None else manifestMeta(table)._2
+
+  /** The `"files":[...]` list of a manifest that MUST be intact: rollback
+    * and time travel delete/pin files based on it, so a torn manifest here
+    * must fail loudly (a lenient empty read would make rollbackTo delete
+    * every live file).
+    */
+  private def manifestFilesStrict(table: String, snapshot: Int,
+                                  json: String): Seq[String] = {
+    if (!json.contains("\"files\":"))
+      throw new graft.ManifestCorrupted(table, snapshot,
+        "missing \"files\" field")
+    """"files":\[(.*?)\]""".r.findFirstMatchIn(json) match {
+      case None =>
+        throw new graft.ManifestCorrupted(table, snapshot,
+          "unterminated \"files\" array")
+      case Some(m) => m.group(1)
+        .split(",").filter(_.nonEmpty)
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"")
+          .replace("\\\\", "\\"))
+        .toSeq
+    }
   }
 
   /** Remove the data directories of the given buckets. Dynamic partition
@@ -283,11 +342,7 @@ object IcebergishTable {
     val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
     // Minimal extraction of the "files":[...] array (manifests are written
     // by `commit` above — flat JSON, no nested arrays before "files").
-    val files = """"files":\[(.*?)\]""".r.findFirstMatchIn(json)
-      .map(_.group(1)).getOrElse("")
-      .split(",").filter(_.nonEmpty)
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"")
-        .replace("\\\\", "\\"))
+    val files = manifestFilesStrict(table, snapshot, json)
     if (files.isEmpty) spark.emptyDataFrame
     else {
       val paths = files.map(f => dir(table).resolve(f).toString)
@@ -296,6 +351,23 @@ object IcebergishTable {
         .option("basePath", dir(table).resolve("data").toString)
         .parquet(paths.toIndexedSeq: _*)
     }
+  }
+
+  /** Create an empty table: commit snapshot 0 with the given data schema
+    * (the physical `part` column appended) and bucket spec, no data files.
+    * The DSv2 catalog's CREATE TABLE — a subsequent catalog write appends
+    * into the committed layout.
+    */
+  def createEmpty(table: String, dataSchema: org.apache.spark.sql.types.StructType,
+                  keyCol: String, numParts: Int): Unit = {
+    require(!exists(table), s"table already exists: $table")
+    require(dataSchema.fieldNames.contains(keyCol),
+      s"bucket key '$keyCol' is not a column of ${dataSchema.fieldNames.mkString(",")}")
+    val withPart = dataSchema
+      .add(org.apache.spark.sql.types.StructField(PartCol,
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    commit(table, 0, withPart.json, 0 until numParts, 0L,
+      bucketKey = Some((keyCol, numParts)))
   }
 
   def exists(table: String): Boolean =
@@ -317,12 +389,9 @@ object IcebergishTable {
     val m = dir(table).resolve(s"snap-$snapshot.json")
     if (!Files.exists(m)) throw new graft.SnapshotNotFound(table, snapshot)
     val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-    val keep = """"files":\[(.*?)\]""".r.findFirstMatchIn(json)
-      .map(_.group(1)).getOrElse("")
-      .split(",").filter(_.nonEmpty)
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"")
-        .replace("\\\\", "\\"))
-      .toSet
+    // Strict parse: a torn manifest read leniently as "no files" would make
+    // the loop below delete every live data file.
+    val keep = manifestFilesStrict(table, snapshot, json).toSet
     val priorCurrent = currentSnapshot(table)
     listDataFiles(table).filterNot(keep).foreach { f =>
       Files.deleteIfExists(dir(table).resolve(f))
@@ -407,12 +476,7 @@ object IcebergishTable {
     val m = dir(table).resolve(s"snap-$snapshot.json")
     if (!Files.exists(m)) return Seq.empty
     val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-    """"files":\[(.*?)\]""".r.findFirstMatchIn(json)
-      .map(_.group(1)).getOrElse("")
-      .split(",").filter(_.nonEmpty)
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"")
-        .replace("\\\\", "\\"))
-      .toSeq
+    manifestFilesStrict(table, snapshot, json)
   }
 
   def drop(table: String): Unit = {

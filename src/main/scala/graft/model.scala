@@ -108,6 +108,26 @@ final class SnapshotNotFound(table: String, snapshot: Int)
 final class GraphNotInCatalog(graph: String)
     extends GraftError(s"no such graph in catalog: $graph")
 
+/** A snapshot manifest exists but cannot be parsed (torn write, manual
+  * corruption) — the table-protocol analog of the reference's decoding
+  * error normalization (/root/reference/src/errors.rs:30-41: malformed
+  * server payloads become typed `Deserialization`/`Parse` variants instead
+  * of raw panics).
+  */
+final class ManifestCorrupted(table: String, snapshot: Int, detail: String)
+    extends GraftError(
+      s"snapshot manifest snap-$snapshot.json of $table is corrupted: $detail")
+
+/** A write's bucket layout disagrees with the table's committed spec —
+  * appending (key=x, n=8) data into a (key=y, n=16) table would silently
+  * break storage-partitioned joins and bucket pruning, so it is rejected
+  * up front (reference `verify_parameters` discipline,
+  * graph_loader.rs:253-271).
+  */
+final class BucketSpecMismatch(table: String, expected: String, got: String)
+    extends GraftError(
+      s"bucket spec mismatch for $table: table is bucketed by $expected, write supplied $got")
+
 /** One row per completed partition of a stage — the Spark analog of the
   * reference's batch-acknowledgement resume protocol
   * (/root/reference/src/sharding.rs:237-239, :270-271): a partition is

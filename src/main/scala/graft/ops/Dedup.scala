@@ -178,6 +178,80 @@ object Dedup {
       .withColumn("simhash_hex", hex(col("simhash")))
   }
 
+  /** Per-group corpus minhash sketches: one narrow pass computes each doc's
+    * signature, then element-wise min ([[MinHashAgg]]) folds a group's
+    * signatures into the EXACT sketch of the group's shingle-set union
+    * (map-side partial agg applies — min is associative/commutative).
+    */
+  def minhashSketches(df: DataFrame, groupCol: String, textCol: String,
+                      w: Int = 3, numHashes: Int = 128): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("grp"), col(textCol).as("text"))
+      .as[(String, String)]
+      .map { case (g, text) =>
+        (g, Signatures.minhash(Signatures.shingles(text, w), numHashes))
+      }
+      .toDF("grp", "sig")
+      .groupBy(col("grp"))
+      .agg(MinHashAgg.column(col("sig")).as("sketch"))
+  }
+
+  /** Estimated jaccard = fraction of agreeing sketch slots — the SQL form
+    * of [[MinHashAgg.estimateJaccard]], fully codegen'd (zip_with +
+    * aggregate builtins, no UDF in the pair loop).
+    */
+  private def slotAgreement(a: Column, b: Column): Column =
+    round(
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / size(a), 4)
+
+  /** Banded pairing of corpus sketches (input: (grp, sketch) from
+    * [[minhashSketches]]): band the SKETCHES themselves — band index = slot
+    * position, band key = slot value — so two sketches that agree on at
+    * least one slot meet in that slot's bucket. Recall vs the all-pairs
+    * scan is therefore EXACTLY 1 for any `minEstJaccard > 0` (an agreeing
+    * slot IS a shared bucket), while the shuffle volume is
+    * O(groups × numHashes) bucket rows instead of the G² cross join —
+    * the same LSH shape [[minhashLshPairs]] uses per-document, lifted to
+    * corpus level. Default threshold = one agreeing slot out of 128.
+    */
+  def minhashSketchPairs(sketches: DataFrame,
+                         minEstJaccard: Double = 0.005): DataFrame = {
+    val sk = sketches.toDF("grp", "sketch")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slots = sk.select(col("grp"),
+      posexplode(col("sketch")).as(Seq("band", "key")))
+    val cand = slots.toDF("ga", "band", "key")
+      .join(slots.toDF("gb", "band", "key"), Seq("band", "key"))
+      .where(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"))
+      .distinct()
+    val a = sk.toDF("ga", "ka")
+    val b = sk.toDF("gb", "kb")
+    val out = cand.join(a, Seq("ga")).join(b, Seq("gb"))
+      .withColumn("est_jaccard", slotAgreement(col("ka"), col("kb")))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("ga").as("src_a"), col("gb").as("src_b"), col("est_jaccard"))
+    val materialized = out.localCheckpoint()
+    sk.unpersist(blocking = false)
+    materialized
+  }
+
+  /** All-pairs reference scan over the sketches — G² by construction, kept
+    * ONLY as the small-G oracle path for [[minhashSketchPairs]] (OpsSpec
+    * asserts banded ≡ all-pairs); never use beyond ~10³ groups.
+    */
+  def minhashSketchPairsAllPairs(sketches: DataFrame,
+                                 minEstJaccard: Double = 0.005): DataFrame = {
+    val sk = sketches.toDF("grp", "sketch")
+    sk.toDF("ga", "ka").crossJoin(sk.toDF("gb", "kb"))
+      .where(col("ga") < col("gb"))
+      .withColumn("est_jaccard", slotAgreement(col("ka"), col("kb")))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("ga").as("src_a"), col("gb").as("src_b"), col("est_jaccard"))
+  }
+
   /** Embedding near-dup pairs by cosine similarity.
     * Brute-force variant (exact, oracle-checkable): normalized dot via
     * codegen'd zip_with/aggregate over a self-join. Scale path:

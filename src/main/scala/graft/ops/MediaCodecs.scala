@@ -1,0 +1,202 @@
+package graft.ops
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM codecs for the two uncompressed media containers that need no
+  * codec library: 24-bit BMP (BITMAPINFOHEADER) and PCM16 WAV (RIFF).
+  *
+  * These make the multimodal pipeline's decode kernels REAL — byte-level
+  * parse, exact pixel/sample recovery — where compressed formats (JPEG,
+  * MP3, H.264) remain loudly-labeled stubs in [[Multimodal]] because the
+  * sandbox ships no codec libraries. Encoders exist so tests and the
+  * synthesizer can produce valid payloads deterministically.
+  *
+  * Everything here is a pure function over byte arrays: it runs inside
+  * `mapPartitions` batches on executors, never on the driver.
+  */
+object MediaCodecs {
+
+  final case class Bmp(width: Int, height: Int, rgb: Array[Byte]) {
+    /** Row-major top-down; 3 bytes (R,G,B) per pixel. */
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val o = (y * width + x) * 3
+      ((rgb(o) & 0xff), (rgb(o + 1) & 0xff), (rgb(o + 2) & 0xff))
+    }
+  }
+
+  final case class Wav(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  private def rowStride(width: Int): Int = (width * 3 + 3) & ~3
+
+  /** Encode a 24-bit uncompressed BMP (bottom-up rows, 4-byte row padding,
+    * BGR byte order — the format's canonical layout).
+    */
+  def encodeBmp(width: Int, height: Int,
+                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val stride = rowStride(width)
+    val dataSize = stride * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize) // file size
+    buf.putShort(0).putShort(0)
+    buf.putInt(54) // pixel data offset
+    buf.putInt(40) // BITMAPINFOHEADER size
+    buf.putInt(width)
+    buf.putInt(height) // positive: bottom-up
+    buf.putShort(1) // planes
+    buf.putShort(24) // bits per pixel
+    buf.putInt(0) // BI_RGB (uncompressed)
+    buf.putInt(dataSize)
+    buf.putInt(2835).putInt(2835) // 72 dpi
+    buf.putInt(0).putInt(0)
+    var y = height - 1 // bottom row first
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Decode a 24-bit uncompressed BMP into row-major top-down RGB. Handles
+    * both bottom-up (positive height) and top-down (negative height) files,
+    * arbitrary pixel-data offsets, and row padding. Malformed payloads
+    * raise [[graft.InvalidConfig]]-style IllegalArgumentException with the
+    * offending field — the per-row quarantine pattern catches these.
+    */
+  def decodeBmp(bytes: Array[Byte]): Bmp = {
+    require(bytes.length >= 54, s"truncated BMP header: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.get(0) == 'B' && buf.get(1) == 'M', "missing BM magic")
+    val dataOffset = buf.getInt(10)
+    val headerSize = buf.getInt(14)
+    require(headerSize >= 40, s"unsupported DIB header size $headerSize")
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    require(bpp == 24, s"unsupported bpp $bpp (only 24-bit supported)")
+    require(compression == 0, s"unsupported compression $compression")
+    val bottomUp = rawHeight > 0
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
+    val stride = rowStride(width)
+    require(bytes.length >= dataOffset + stride * height,
+      s"truncated pixel data: need ${dataOffset + stride * height}, have ${bytes.length}")
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      var x = 0
+      val base = dataOffset + srcRow * stride
+      while (x < width) {
+        val src = base + x * 3
+        val dst = (y * width + x) * 3
+        rgb(dst) = bytes(src + 2) // R (stored as BGR)
+        rgb(dst + 1) = bytes(src + 1) // G
+        rgb(dst + 2) = bytes(src) // B
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(width, height, rgb)
+  }
+
+  /** Nearest-neighbor resample — a REAL pixel kernel (not a metadata fake):
+    * deterministic, codec-free, and the resize semantics a training
+    * pipeline's thumbnail stage needs.
+    */
+  def resampleBmp(img: Bmp, newWidth: Int, newHeight: Int): Bmp = {
+    require(newWidth > 0 && newHeight > 0)
+    val out = new Array[Byte](newWidth * newHeight * 3)
+    var y = 0
+    while (y < newHeight) {
+      val sy = math.min(img.height - 1, y * img.height / newHeight)
+      var x = 0
+      while (x < newWidth) {
+        val sx = math.min(img.width - 1, x * img.width / newWidth)
+        val src = (sy * img.width + sx) * 3
+        val dst = (y * newWidth + x) * 3
+        out(dst) = img.rgb(src); out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(newWidth, newHeight, out)
+  }
+
+  /** Encode mono/stereo PCM16 WAV (RIFF + fmt + data chunks). */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+                     samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0)
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16) // PCM fmt chunk size
+    buf.putShort(1) // audio format: PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2) // byte rate
+    buf.putShort((channels * 2).toShort) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Decode PCM16 WAV: chunk walk (fmt may be followed by LIST/fact etc.
+    * before data — real-world files do this), strict on format fields.
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): Wav = {
+    require(bytes.length >= 44, s"truncated WAV header: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE",
+      s"missing RIFF/WAVE magic: ${fourcc(0)}/${fourcc(8)}")
+    var off = 12
+    var sampleRate = -1
+    var channels = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
+      val id = fourcc(off)
+      val size = buf.getInt(off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"chunk $id overruns payload (size=$size at off=$off)")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too small: $size")
+          val fmt = buf.getShort(off + 8)
+          require(fmt == 1, s"unsupported audio format $fmt (only PCM)")
+          channels = buf.getShort(off + 10)
+          sampleRate = buf.getInt(off + 12)
+          val bits = buf.getShort(off + 22)
+          require(bits == 16, s"unsupported bits/sample $bits")
+        case "data" =>
+          require(sampleRate > 0, "data chunk before fmt chunk")
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = buf.getShort(off + 8 + i * 2); i += 1
+          }
+        case _ => // skip unknown chunk (LIST, fact, ...)
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(samples != null, "no data chunk found")
+    Wav(sampleRate, channels, samples)
+  }
+}

@@ -12,12 +12,17 @@ import graft.synth.Rng
   * transforms run batched per partition, and only derived features/frames
   * enter shuffles.
   *
-  * The container ships no image/audio codecs, so the *decode* kernels are
-  * STUBS — deterministic fakes clearly marked below — while everything
-  * Spark-side is real and tested: schema, partitioning, batch-shaped
-  * `mapPartitions` (the Scala analog of `mapInPandas`: one iterator of rows
-  * per partition, amortizing per-batch setup such as codec init), explode
-  * shape for frame sampling, and feature vectors sized for downstream ANN.
+  * Decode kernels, by format:
+  *  - image = 24-bit uncompressed BMP — REAL byte-level decode
+  *    ([[MediaCodecs.decodeBmp]]), real nearest-neighbor pixel resampling,
+  *    features computed from actual pixels.
+  *  - audio = PCM16 WAV — REAL RIFF chunk-walk decode
+  *    ([[MediaCodecs.decodeWavPcm16]]), features from actual samples
+  *    (RMS, zero-crossing rate, amplitude histogram).
+  *  - video: the container ships no inter-frame codec, so the video path is
+  *    a STUB — deterministic fake payloads, block-sampled "frames" — while
+  *    the Spark-side plumbing (schema, partitioning, batch-shaped
+  *    `mapPartitions`, explode shape) is real and tested.
   */
 object Multimodal {
 
@@ -37,32 +42,103 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int,
                          frame_bytes: Array[Byte])
 
-  /** Deterministic synthetic media table (payload bytes from the counter
-    * PRNG; metadata consistent with kind).
+  /** Deterministic synthetic media table. Image payloads are VALID 24-bit
+    * BMPs (counter-PRNG pixels), audio payloads are VALID PCM16 WAVs —
+    * real containers the decode kernels parse byte-for-byte. Video payloads
+    * are opaque PRNG bytes (stub — see object doc).
     */
   def synthesize(spark: SparkSession, seed: Long, n: Long,
                  partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n, 1L, partitions).map { i =>
       val kind = Vector("image", "audio", "video")(Rng.nextInt(seed, i, 0, 3))
-      val len = 256 + Rng.nextInt(seed, i, 1, 1024)
-      val payload = Array.tabulate(len)(j => Rng.at(seed, i, 100L + j).toByte)
       kind match {
-        case "image" => MediaRow(i, kind, payload,
-          32 + Rng.nextInt(seed, i, 2, 512), 32 + Rng.nextInt(seed, i, 3, 512), 0, 1)
-        case "audio" => MediaRow(i, kind, payload, 0, 0,
-          Vector(8000, 16000, 44100)(Rng.nextInt(seed, i, 4, 3)), 0)
-        case _ => MediaRow(i, kind, payload,
-          64 + Rng.nextInt(seed, i, 5, 256), 64 + Rng.nextInt(seed, i, 6, 256), 0,
-          4 + Rng.nextInt(seed, i, 7, 28))
+        case "image" =>
+          val w = 4 + Rng.nextInt(seed, i, 2, 28)
+          val h = 4 + Rng.nextInt(seed, i, 3, 28)
+          val bmp = MediaCodecs.encodeBmp(w, h, (x, y) => {
+            val v = Rng.at(seed, i, 100L + y.toLong * w + x)
+            ((v & 0xff).toInt, ((v >>> 8) & 0xff).toInt, ((v >>> 16) & 0xff).toInt)
+          })
+          MediaRow(i, kind, bmp, w, h, 0, 1)
+        case "audio" =>
+          val rate = Vector(8000, 16000, 44100)(Rng.nextInt(seed, i, 4, 3))
+          val nSamples = 64 + Rng.nextInt(seed, i, 5, 960)
+          val samples = Array.tabulate(nSamples)(j =>
+            (Rng.at(seed, i, 200L + j) & 0xffffL).toShort)
+          MediaRow(i, kind, MediaCodecs.encodeWavPcm16(rate, 1, samples),
+            0, 0, rate, 0)
+        case _ =>
+          val len = 256 + Rng.nextInt(seed, i, 1, 1024)
+          val payload = Array.tabulate(len)(j => Rng.at(seed, i, 100L + j).toByte)
+          MediaRow(i, kind, payload,
+            64 + Rng.nextInt(seed, i, 5, 256), 64 + Rng.nextInt(seed, i, 6, 256), 0,
+            4 + Rng.nextInt(seed, i, 7, 28))
       }
     }
   }
 
-  /** STUB decode kernel: a real pipeline would decode the payload with an
-    * image/audio codec here. Deterministic fake: 16 float features derived
-    * from payload bytes. The mapPartitions batching around it is the real,
-    * scale-relevant part (codec init amortized per partition, not per row).
+  /** Image features from REAL decoded pixels: mean R/G/B, mean luminance,
+    * then a (dim-4)-bin luminance histogram (mass-normalized).
+    */
+  private[graft] def imageFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val img = MediaCodecs.decodeBmp(payload)
+    val out = new Array[Float](dim)
+    val nPix = img.width * img.height
+    val bins = dim - 4
+    var i = 0
+    while (i < nPix) {
+      val r = img.rgb(i * 3) & 0xff
+      val g = img.rgb(i * 3 + 1) & 0xff
+      val b = img.rgb(i * 3 + 2) & 0xff
+      out(0) += r / 255.0f
+      out(1) += g / 255.0f
+      out(2) += b / 255.0f
+      val luma = (r * 299 + g * 587 + b * 114) / 1000 // integer BT.601
+      out(3) += luma / 255.0f
+      if (bins > 0) out(4 + math.min(bins - 1, luma * bins / 256)) += 1.0f
+      i += 1
+    }
+    var d = 0
+    while (d < dim) { out(d) /= nPix; d += 1 }
+    out
+  }
+
+  /** Audio features from REAL decoded samples: RMS, zero-crossing rate,
+    * mean, peak, then a (dim-4)-bin absolute-amplitude histogram.
+    */
+  private[graft] def audioFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val wav = MediaCodecs.decodeWavPcm16(payload)
+    val out = new Array[Float](dim)
+    val n = wav.samples.length
+    if (n == 0) return out
+    val bins = dim - 4
+    var sumSq = 0.0
+    var sum = 0.0
+    var peak = 0.0f
+    var zc = 0
+    var i = 0
+    while (i < n) {
+      val s = wav.samples(i) / 32768.0f
+      sumSq += s.toDouble * s
+      sum += s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      if (i > 0 && ((wav.samples(i) >= 0) != (wav.samples(i - 1) >= 0))) zc += 1
+      if (bins > 0) out(4 + math.min(bins - 1, (a * bins).toInt)) += 1.0f
+      i += 1
+    }
+    out(0) = math.sqrt(sumSq / n).toFloat
+    out(1) = zc.toFloat / n
+    out(2) = (sum / n).toFloat
+    out(3) = peak
+    var d = 4
+    while (d < dim) { out(d) /= n; d += 1 }
+    out
+  }
+
+  /** STUB decode kernel for the video path ONLY (no inter-frame codec in
+    * the sandbox): deterministic fake features from payload bytes.
     */
   private def stubDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -77,7 +153,8 @@ object Multimodal {
   }
 
   /** Batched feature extraction — one "codec" per partition, rows streamed
-    * through it (the mapInPandas batch shape).
+    * through it (the mapInPandas batch shape). Image/audio rows go through
+    * the REAL decoders; video rows through the labeled stub.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -87,20 +164,33 @@ object Multimodal {
       val codecReady = true
       rows.map { r =>
         require(codecReady)
-        MediaFeature(r.media_id, r.kind, stubDecodeFeatures(r.payload, dim))
+        val feat = r.kind match {
+          case "image" => imageFeatures(r.payload, dim)
+          case "audio" => audioFeatures(r.payload, dim)
+          case _ => stubDecodeFeatures(r.payload, dim) // video: STUB
+        }
+        MediaFeature(r.media_id, r.kind, feat)
       }
     }
   }
 
-  /** STUB resize: recomputes metadata and truncates the payload
-    * proportionally (real pipeline: pixel resample).
+  /** Resize: REAL nearest-neighbor pixel resample + re-encode for images;
+    * audio passes through; video truncates proportionally (STUB — no
+    * codec to transcode with).
     */
   def resize(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { r =>
       if (r.kind == "audio" || math.max(r.width, r.height) <= maxSide) r
-      else {
+      else if (r.kind == "image") {
+        val scale = maxSide.toDouble / math.max(r.width, r.height)
+        val w = math.max(1, (r.width * scale).toInt)
+        val h = math.max(1, (r.height * scale).toInt)
+        val resampled = MediaCodecs.resampleBmp(MediaCodecs.decodeBmp(r.payload), w, h)
+        r.copy(width = w, height = h,
+          payload = MediaCodecs.encodeBmp(w, h, (x, y) => resampled.pixel(x, y)))
+      } else {
         val scale = maxSide.toDouble / math.max(r.width, r.height)
         val w = math.max(1, (r.width * scale).toInt)
         val h = math.max(1, (r.height * scale).toInt)

@@ -78,22 +78,54 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     }
   }
 
+  /** CREATE TABLE (incl. the CTAS leg of `df.writeTo(...).create()`):
+    * requires exactly one `bucket(n, key)` transform — the only layout the
+    * format has. Commits an empty snapshot 0; the write that follows
+    * appends into it through [[GraftWriteBuilder]].
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by IcebergishTable.write")
+                           properties: util.Map[String, String]): Table = {
+    val path = tablePath(ident)
+    if (graft.io.IcebergishTable.exists(path))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val spec = partitions match {
+      case Array(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.asInstanceOf[Number].intValue
+        }
+        val key = t.references.headOption.map(_.fieldNames.mkString("."))
+        (n, key) match {
+          case (Some(n), Some(k)) => (k, n)
+          case _ => throw new graft.InvalidConfig(
+            s"unparseable bucket transform: $t")
+        }
+      case other => throw new graft.InvalidConfig(
+        "graft tables require exactly one bucket(n, key) partition " +
+          s"transform, got [${other.mkString(", ")}] — e.g. " +
+          "df.writeTo(\"graft.t\").partitionedBy(bucket(8, $\"subj\")).create()")
+    }
+    graft.io.IcebergishTable.createEmpty(path, schema, spec._1, spec._2)
+    new GraftTable(ident.toString, path)
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException(
+      "graft tables do not support schema evolution")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("read-only catalog")
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    if (!graft.io.IcebergishTable.exists(path)) false
+    else { graft.io.IcebergishTable.drop(path); true }
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException(
+      "rename is not supported (paths are identity)")
 
   // ---- FunctionCatalog ----------------------------------------------------
 

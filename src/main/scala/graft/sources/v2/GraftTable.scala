@@ -5,16 +5,17 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.paths.SparkPath
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetPartitionReaderFactory, ParquetScan}
-import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In, InsertableRelation}
 import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -28,13 +29,24 @@ import graft.io.IcebergishTable
   * - Scans prune columns (`SupportsPushDownRequiredColumns`), prune buckets
   *   from part-column predicates, and push data filters into the parquet
   *   reader (row-group stats pruning).
+  * - Writes go through the V1Write bridge: `df.writeTo("graft.edges")
+  *   .append()` hash-buckets the rows on the committed spec and commits a
+  *   new snapshot — the catalog twin of the reference's callback sinks
+  *   (`do_vertices`/`do_edges`, /root/reference/src/graph_loader.rs:377-383,
+  *   :629-641), which are its primary user surface.
+  * - The physical `part` column is Iceberg-style HIDDEN partitioning: it is
+  *   not in `schema()` (so writers never supply it — the engine derives it
+  *   from the bucket key), but reads can still select/filter it as a
+  *   METADATA column (`SELECT part FROM graft.edges`), which keeps exact
+  *   bucket pruning available.
   */
 final class GraftTable(ident: String, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
 
   private val (schemaJson, bucketSpec) = IcebergishTable.manifestMeta(path)
 
-  /** Full table schema (data columns + the part column, as written). */
+  /** Full physical schema (data columns + the part column, as written). */
   private val tableSchema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -42,10 +54,16 @@ final class GraftTable(ident: String, path: String)
     StructType(tableSchema.filterNot(_.name == IcebergishTable.PartCol))
 
   override def name(): String = ident
-  override def schema(): StructType = tableSchema
+
+  /** Logical schema: data columns only — `part` is derived, not supplied. */
+  override def schema(): StructType = dataSchema
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftPartMetadataColumn)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def partitioning(): Array[Transform] = bucketSpec match {
     case Some((key, n)) => Array(Expressions.bucket(n, key))
@@ -57,6 +75,49 @@ final class GraftTable(ident: String, path: String)
     // file list (expired snapshots fail loudly at planning).
     val snapshot = Option(options.get("snapshot")).map(_.toInt)
     new GraftScanBuilder(path, tableSchema, dataSchema, bucketSpec, snapshot)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path, bucketSpec)
+}
+
+/** `part` exposed Iceberg-style as a metadata column: selectable and
+  * filterable on read (bucket pruning still applies — Spark extends the
+  * relation output with requested metadata columns, so part predicates
+  * reach `pushFilters` unchanged), but never part of the write schema.
+  */
+object GraftPartMetadataColumn extends MetadataColumn {
+  override def name(): String = IcebergishTable.PartCol
+  override def dataType(): DataType = IntegerType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "hash bucket index: pmod(xxhash64(bucket key), buckets)"
+}
+
+/** V1Write bridge: the insert re-enters [[IcebergishTable.write]], which
+  * buckets on the committed spec, writes one file set per bucket, and
+  * commits a new snapshot — catalog writes and the bespoke pipeline sinks
+  * share one commit protocol. `truncate()` (INSERT OVERWRITE /
+  * `.overwrite(lit(true))`) re-creates the table content in place.
+  */
+final class GraftWriteBuilder(path: String, bucketSpec: Option[(String, Int)])
+    extends WriteBuilder with SupportsTruncate {
+
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val (key, n) = bucketSpec.getOrElse(throw new graft.BucketSpecMismatch(
+            path, "a committed bucket spec", "none — table has no bucket metadata"))
+          val mode =
+            if (replace || overwrite) SaveMode.Overwrite else SaveMode.Append
+          IcebergishTable.write(data, path, key, n, mode)
+        }
+      }
   }
 }
 

@@ -69,12 +69,16 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("part predicates prune buckets exactly (partition pruning)") {
     warehouse
+    // `part` is a METADATA column (hidden partitioning): absent from the
+    // logical schema, but selectable/filterable by name — and its filters
+    // still reach pushFilters for exact bucket pruning.
+    assert(!spark.table("graft.edges").columns.contains("part"))
     val df = spark.table("graft.edges").where(col("part") === 3)
     val p = plan(df)
     assert(p.contains("buckets=List(3)"), "bucket not pruned:\n" + p)
     // Pruning is exact: same rows as the unpruned filter.
-    val full = spark.table("graft.edges").collect()
-      .count(_.getAs[Int]("part") == 3)
+    val full = spark.table("graft.edges").select(col("part"))
+      .collect().count(_.getInt(0) == 3)
     assert(df.count() == full && full > 0)
   }
 
@@ -117,7 +121,7 @@ class GraftCatalogSpec extends SparkSpec {
     IcebergishTable.write(
       spark.range(10, 25).select(col("id").cast("string").as("k"), col("id").as("v")),
       table, "k", 4, org.apache.spark.sql.SaveMode.Append)
-    val now = spark.read.table("graft.tt").as[(String, Long, Int)].collect()
+    val now = spark.read.table("graft.tt").as[(String, Long)].collect()
     assert(now.length == 25)
     val travel = spark.read.option("snapshot", snap0.toString)
       .table("graft.tt").select("v").as[Long].collect().toSet
@@ -125,6 +129,119 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[SnapshotNotFound] {
       spark.read.option("snapshot", "99").table("graft.tt").count()
     }
+  }
+
+  test("df.writeTo(catalog).append() commits a snapshot and preserves the bucket layout") {
+    warehouse
+    import spark.implicits._
+    val table = s"$warehouse/edges"
+    val before = IcebergishTable.currentSnapshot(table)
+    val beforeRows = spark.table("graft.edges").count()
+
+    // The user-facing sink: a plain triple frame, NO part column — the
+    // engine derives the bucket from the committed spec (hidden
+    // partitioning), exactly the reference's hand-the-sink-your-rows shape.
+    spark.range(0, 100)
+      .select(concat(lit("w"), col("id") % 10).as("subj"),
+        lit("q").as("pred"), concat(lit("o"), col("id")).as("obj"),
+        concat(lit("wu"), col("id")).as("url"), lit(0.5).as("conf"))
+      .writeTo("graft.edges").append()
+
+    assert(IcebergishTable.currentSnapshot(table) == before + 1)
+    assert(spark.table("graft.edges").count() == beforeRows + 100)
+    // Layout preserved: every appended row sits in the bucket the committed
+    // spec (subj, 8) assigns it — verify physically via the metadata column.
+    val misplaced = spark.table("graft.edges")
+      .where(col("subj").startsWith("w"))
+      .select(col("part"),
+        pmod(xxhash64(col("subj")), lit(8)).cast("int").as("want"))
+      .where(col("part") =!= col("want")).count()
+    assert(misplaced == 0, s"$misplaced rows in the wrong bucket")
+    // And the appended table still time-travels: the pre-append snapshot
+    // reads exactly the old rows.
+    assert(spark.read.option("snapshot", before.toString)
+      .table("graft.edges").count() == beforeRows)
+  }
+
+  test("CTAS through the catalog: partitionedBy(bucket(n, key)).create(), then SPJ-joinable") {
+    warehouse
+    import org.apache.spark.sql.functions.bucket
+    import spark.implicits._
+    spark.range(0, 400)
+      .select(concat(lit("s"), col("id") % 80).as("id2"),
+        (col("id") % 7).as("score"))
+      .writeTo("graft.ranks")
+      .partitionedBy(bucket(8, col("id2")))
+      .create()
+    assert(IcebergishTable.exists(s"$warehouse/ranks"))
+    assert(IcebergishTable.bucketSpecOf(s"$warehouse/ranks") == Some(("id2", 8)))
+    assert(spark.table("graft.ranks").count() == 400)
+
+    // The created table is co-bucketed with edges (same canonical bucket
+    // function, same count) → the join plans storage-partitioned.
+    val noBroadcast = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = noBroadcast.map { case (k, _) => k -> spark.conf.getOption(k) }
+    noBroadcast.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val e = spark.table("graft.edges").where(col("pred") === "p")
+      val r = spark.table("graft.ranks")
+      val joined = e.join(r, e("subj") === r("id2"))
+        .groupBy(r("id2")).agg(count(lit(1)).as("n"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"CTAS table not storage-partition-joinable:\n$p")
+      assert(joined.count() == 80)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
+    // Truncating overwrite through the catalog (INSERT OVERWRITE semantics).
+    Seq(("s1", 99L)).toDF("id2", "score")
+      .writeTo("graft.ranks").overwrite(lit(true))
+    assert(spark.table("graft.ranks").as[(String, Long)].collect().toSeq ==
+      Seq(("s1", 99L)))
+    assert(spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.v2.GraftCatalog]
+      .dropTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, "ranks")))
+    assert(!IcebergishTable.exists(s"$warehouse/ranks"))
+  }
+
+  test("typed errors at the table protocol surface: corrupt manifest, bucket-spec mismatch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-typed").toString
+    val table = s"$base/t"
+    IcebergishTable.write(Seq(("a", 1L)).toDF("k", "v"), table, "k", 4)
+
+    // Appending with a different bucket layout is rejected up front — it
+    // would silently break SPJ/bucket pruning for every later reader.
+    intercept[BucketSpecMismatch] {
+      IcebergishTable.write(Seq(("b", 2L)).toDF("k", "v"), table, "k", 8,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    intercept[BucketSpecMismatch] {
+      IcebergishTable.write(Seq(("b", 2L)).toDF("k", "v"), table, "v", 4,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+
+    // A torn/corrupt manifest surfaces as the typed ManifestCorrupted from
+    // every protocol entry point — and rollbackTo must REFUSE to act on it
+    // (parsing it leniently as "no files" would delete all live data).
+    val snap = IcebergishTable.currentSnapshot(table)
+    val m = java.nio.file.Paths.get(table, s"snap-$snap.json")
+    val intact = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+    java.nio.file.Files.write(m,
+      intact.substring(0, intact.indexOf("\"files\"")).getBytes("UTF-8"))
+    intercept[ManifestCorrupted] { IcebergishTable.manifestMeta(table) }
+    intercept[ManifestCorrupted] { IcebergishTable.rollbackTo(table, snap) }
+    intercept[ManifestCorrupted] { IcebergishTable.readSnapshot(spark, table, snap) }
+    assert(IcebergishTable.read(spark, table).count() == 1,
+      "live data must survive a refused rollback")
+    java.nio.file.Files.write(m, intact.getBytes("UTF-8")) // restore
+    assert(IcebergishTable.manifestMeta(table)._2 == Some(("k", 4)))
   }
 
   test("bucket-key join between co-bucketed tables plans with ZERO exchanges (storage-partitioned join)") {

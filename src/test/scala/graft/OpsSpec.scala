@@ -189,6 +189,22 @@ class OpsSpec extends SparkSpec {
     assert(ops.MinHashAgg.estimateJaccard(sigs.head, sigs.head) == 1.0)
   }
 
+  test("banded sketch pairing equals the all-pairs scan at G=50") {
+    // Banding the corpus sketches (band = slot index, key = slot value)
+    // has recall EXACTLY 1 vs the G² scan for any threshold > 0: a pair
+    // with >= 1 agreeing slot shares that slot's bucket by construction.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select((col("doc_id") % 50).cast("string").as("grp"), col("text"))
+    val sketches = ops.Dedup.minhashSketches(docs, "grp", "text")
+      .localCheckpoint() // two consumers below; sketch once
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val banded = asSet(ops.Dedup.minhashSketchPairs(sketches))
+    val allPairs = asSet(ops.Dedup.minhashSketchPairsAllPairs(sketches))
+    assert(banded == allPairs, s"banded ${banded.size} vs G² ${allPairs.size}")
+    assert(banded.nonEmpty, "degenerate fixture: no agreeing sketch slots")
+  }
+
   test("graph catalog derives sorted distinct vertex/edge collections") {
     val defs = ops.GraphCatalog.fixtureDefinitions(spark)
     val v = ops.GraphCatalog.vertexCollections(defs).collect().map(_.getString(0))
