@@ -63,6 +63,7 @@ final class GraftTable(ident: String, path: String)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def partitioning(): Array[Transform] = bucketSpec match {
@@ -294,6 +295,103 @@ final class GraftScan(path: String, dataSchema: StructType,
   override def description(): String =
     s"GraftScan(path=$path, buckets=${prunedBuckets.map(_.toSeq.sorted)
       .getOrElse("all")}, pushed=${dataFilters.mkString(",")})"
+
+  /** Streaming read: snapshot ids are the offsets; each micro-batch is the
+    * file-list DIFF between two committed manifests (manifests are
+    * immutable, so a replayed range re-plans byte-identically —
+    * exactly-once). See [[GraftMicroBatchStream]].
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, dataSchema, readDataSchema,
+      partitionSchema, needsPart, dataFilters)
+}
+
+/** Streaming offset = committed snapshot id (-1 = before the table). */
+final case class GraftSnapshotOffset(snapshot: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = snapshot.toString
+}
+
+/** MicroBatchStream over an Icebergish table: `latestOffset` is the
+  * current committed snapshot; `planInputPartitions(a, b)` reads exactly
+  * the files snapshot b's manifest added over snapshot a's, grouped by
+  * bucket. The stream therefore follows APPENDS exactly-once (offsets ride
+  * Spark's streaming checkpoint; manifests are immutable); a compaction or
+  * rollback inside a planned range surfaces loudly (manifest diff contains
+  * rewritten files / the range reads fewer files than the live set), the
+  * same restriction Iceberg documents for its append-only streaming reads.
+  */
+final class GraftMicroBatchStream(path: String, dataSchema: StructType,
+                                  readDataSchema: StructType,
+                                  partitionSchema: StructType,
+                                  needsPart: Boolean,
+                                  dataFilters: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftSnapshotOffset(-1)
+
+  override def latestOffset(): Offset =
+    GraftSnapshotOffset(IcebergishTable.currentSnapshot(path))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftSnapshotOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = () // progress lives in the
+  // streaming checkpoint, not the table
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftSnapshotOffset].snapshot
+    val e = end.asInstanceOf[GraftSnapshotOffset].snapshot
+    if (e <= s) return Array.empty
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, s"snap-$e.json")))
+      throw new graft.SnapshotNotFound(path, e) // expired under the stream
+    val before: Set[String] =
+      if (s < 0) Set.empty else IcebergishTable.snapshotFiles(path, s).toSet
+    val after = IcebergishTable.snapshotFiles(path, e)
+    val root = java.nio.file.Paths.get(path)
+    val added = after.filterNot(before)
+    added
+      .groupBy { rel =>
+        // data/part=<k>/file.parquet → bucket k
+        val seg = rel.split('/').find(_.startsWith(IcebergishTable.PartCol + "="))
+        seg.map(_.stripPrefix(IcebergishTable.PartCol + "=").toInt).getOrElse(0)
+      }
+      .toSeq.sortBy(_._1)
+      .map { case (b, rels) =>
+        val partValues: InternalRow =
+          if (needsPart) new GenericInternalRow(Array[Any](b))
+          else InternalRow.empty
+        val files = rels.sorted.map { rel =>
+          val f = root.resolve(rel)
+          if (!java.nio.file.Files.exists(f))
+            throw new graft.SnapshotNotFound(path, e) // compacted/expired
+          val size = java.nio.file.Files.size(f)
+          PartitionedFile(partValues,
+            SparkPath.fromPathString(f.toAbsolutePath.toString),
+            0L, size, Array.empty,
+            java.nio.file.Files.getLastModifiedTime(f).toMillis, size)
+        }.toArray
+        GraftBucketPartition(b, files): InputPartition
+      }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val session = SparkSession.active
+    val hadoopConf = session.sessionState.newHadoopConf()
+    val fileIndex = new InMemoryFileIndex(session, Seq.empty, Map.empty, None)
+    val inner = ParquetScan(session, hadoopConf, fileIndex, dataSchema,
+      readDataSchema, partitionSchema, dataFilters,
+      CaseInsensitiveStringMap.empty())
+    GraftReaderFactory(inner.createReaderFactory()
+      .asInstanceOf[ParquetPartitionReaderFactory])
+  }
 }
 
 /** Adapts [[GraftBucketPartition]] to Spark's parquet reader factory (which

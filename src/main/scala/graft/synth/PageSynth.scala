@@ -237,6 +237,28 @@ object PageSynth {
           entityId(canonicalOf(eb)), url, 1.0)
         triples += Triple(entityId(canonicalOf(ea)), pred,
           entityId(canonicalOf(ec)), url, 1.0)
+      } else if (kind < 0.74) {
+        // Cross-block anaphora: `The company <phrase> <aliasB> .` resolves
+        // to the NEAREST PRECEDING entity mention — the title on early
+        // sentences, otherwise the last mention of whatever block came
+        // before (a fact object, a negative-pattern object, or even an
+        // ambiguous bare-noun filler mention at conf < 1).
+        val eb = Rng.nextInt(seed, i, base + 2, NumEntities)
+        val (phrase, pred) = relations(Rng.nextInt(seed, i, base + 3, relations.size))
+        val longB = Rng.nextDouble(seed, i, base + 5) < 0.3
+        val (aliasB, confB) =
+          if (longB) (entityName(eb) + " Corp", 0.9) else (entityName(eb), 1.0)
+        val ante = blocks.reverseIterator.flatMap(_.reverseIterator)
+          .collectFirst { case m: Ment => m }.get // title guarantees one
+        blocks += Vector(
+          Plain("The company"),
+          Plain(phrase),
+          Ment(aliasB, entityId(eb), confB),
+          Plain(".")
+        )
+        triples += Triple(
+          entityId(canonicalOf(ante.entity.substring(1).toInt)), pred,
+          entityId(canonicalOf(eb)), url, math.min(ante.conf, confB))
       } else {
         // Filler sentence, optionally with one ambiguous bare-noun mention.
         val nWords = 5 + Rng.nextInt(seed, i, base + 1, 7)

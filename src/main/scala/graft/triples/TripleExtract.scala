@@ -67,12 +67,20 @@ object TripleExtract {
     out.toSeq
   }
 
-  /** Title-entity coreference: a sentence block of the form
-    * `It <relation phrase> <mention> …` refers back to the page's title
-    * entity (the first mention, which sits in the first block). Emits a
-    * candidate anchored at the TITLE mention's offset, so resolution joins
-    * against the already-linked title mention — no extra linking pass.
-    * Blocks are '\n'-delimited (the extractor's block contract).
+  /** Anaphora resolution across sentence blocks. Two pronoun forms:
+    *
+    *  - `It <relation phrase> <mention> …` refers back to the page's TITLE
+    *    entity (the first mention, which sits in the first block).
+    *  - `The company <relation phrase> <mention> …` refers to the NEAREST
+    *    PRECEDING entity mention in text order — which may be the title,
+    *    a previous fact sentence's object, or an ambiguous bare-noun
+    *    mention inside a filler sentence.
+    *
+    * Either form emits a candidate anchored at the ANTECEDENT mention's
+    * offset, so resolution joins against the already-linked antecedent —
+    * no extra linking pass. Blocks are '\n'-delimited (the extractor's
+    * block contract); the phrase gap must match EXACTLY (a `never <phrase>`
+    * gap stays silent).
     */
   def corefCandidates(url: String, text: String,
                       ms: Seq[graft.Mention],
@@ -82,18 +90,24 @@ object TripleExtract {
     val firstNl = text.indexOf('\n')
     if (firstNl < 0 || title.begin > firstNl) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[RelCandidate]
-    var mi = 0
+    var mi = 0 // index of the first mention at/after the current block
     var blockStart = firstNl + 1
     while (blockStart < text.length) {
       val nl = text.indexOf('\n', blockStart)
       val blockEnd = if (nl < 0) text.length else nl
-      if (text.startsWith("It ", blockStart)) {
-        while (mi < ms.length && ms(mi).begin < blockStart) mi += 1
+      while (mi < ms.length && ms(mi).begin < blockStart) mi += 1
+      // (pronoun length, antecedent mention offset)
+      val pronoun: Option[(Int, Int)] =
+        if (text.startsWith("It ", blockStart)) Some((2, title.begin))
+        else if (text.startsWith("The company ", blockStart) && mi > 0)
+          Some((11, ms(mi - 1).begin)) // nearest preceding mention
+        else None
+      pronoun.foreach { case (plen, anteBegin) =>
         if (mi < ms.length && ms(mi).begin < blockEnd) {
           val m = ms(mi)
-          val gap = text.substring(blockStart + 2, m.begin).trim
+          val gap = text.substring(blockStart + plen, m.begin).trim
           phrases.get(gap).foreach { pred =>
-            out += RelCandidate(url, title.begin, m.begin, pred)
+            out += RelCandidate(url, anteBegin, m.begin, pred)
           }
         }
       }

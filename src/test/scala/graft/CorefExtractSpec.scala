@@ -56,6 +56,55 @@ class CorefExtractSpec extends SparkSpec {
     assert(cands.length == 2)
   }
 
+  test("`The company <phrase> <B>` resolves to the NEAREST preceding mention") {
+    val text = "Page 4 about Acme Labs\n" +
+      "Gamma Inc acquired Beta Corp .\n" +
+      "The company was founded by Acme Labs .\n" + // → Beta Corp (nearest)
+      "the market report was strong .\n" +
+      "The company acquired Gamma Inc ." // still → Acme Labs of block 3
+    val ms = Mentions.scanText("u", text, trie)
+    val cands = TripleExtract.allCandidates("u", text, ms, phrases)
+    val anaphora = cands.filter(c =>
+      text.startsWith("The company", prevNewline(text, c.beginB)))
+    assert(anaphora.length == 2, s"got $cands")
+    val founded = anaphora.find(_.pred == "founded_by").get
+    // Antecedent of sentence 3 is Beta Corp — the nearest PRECEDING mention,
+    // not the title and not the subject of its sentence.
+    assert(text.substring(founded.beginA).startsWith("Beta Corp"))
+    assert(text.substring(founded.beginB).startsWith("Acme Labs"))
+    val acq = anaphora.find(_.pred == "acquired").get
+    // Sentence 5's antecedent skips the mention-free filler block and lands
+    // on sentence 3's object.
+    assert(text.substring(acq.beginA).startsWith("Acme Labs"))
+    assert(text.substring(acq.beginB).startsWith("Gamma Inc"))
+    // And `never <phrase>` gaps stay silent for the pronoun form too.
+    val neg = "Page 5 about Acme Labs\nThe company never acquired Beta Corp ."
+    val negCands = TripleExtract.allCandidates("u", neg,
+      Mentions.scanText("u", neg, trie), phrases)
+    assert(negCands.isEmpty, s"hallucinated: $negCands")
+  }
+
+  /** Start offset of the '\n'-delimited block containing `pos`. */
+  private def prevNewline(text: String, pos: Int): Int = {
+    val nl = text.lastIndexOf('\n', pos)
+    if (nl < 0) 0 else nl + 1
+  }
+
+  test("synthesized anaphora sentences round-trip exactly through the fused extractor") {
+    import spark.implicits._
+    val pages = graft.synth.PageSynth.pages(spark, 77L, 300L, 4)
+    val got = TripleExtract.extractDirect(pages,
+        graft.synth.PageSynth.aliasDictionary,
+        graft.synth.PageSynth.relations.toMap,
+        graft.synth.PageSynth.sameAsPairs.map { case (c, d) => d -> c }.toMap)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.url, t.conf)).toSet
+    val want = graft.synth.PageSynth.goldenTriples(spark, 77L, 300L, 4)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.url, t.conf)).toSet
+    assert(got == want, // exact P/R == 1.0, anaphora sentences included
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   test("coref ignores pages whose first mention is not in the title block") {
     val text = "no mentions here\nIt acquired Beta Corp ."
     val ms = Mentions.scanText("u", text, trie)
