@@ -259,6 +259,30 @@ object PageSynth {
         triples += Triple(
           entityId(canonicalOf(ante.entity.substring(1).toInt)), pred,
           entityId(canonicalOf(eb)), url, math.min(ante.conf, confB))
+      } else if (kind < 0.79) {
+        // Nested clause: `A , which <p1> B , <p2> C .` — the parenthetical
+        // yields (A, p1, B); the OUTER relation skips the clause and binds
+        // the anchor, not the clause object: (A, p2, C). A sloppy extractor
+        // pairing adjacent mentions would emit (B, p2, C) instead.
+        val ea = Rng.nextZipf(seed, i, base + 1, NumEntities)
+        var eb = Rng.nextInt(seed, i, base + 2, NumEntities)
+        if (eb == ea) eb = (eb + 1) % NumEntities
+        var ec = Rng.nextInt(seed, i, base + 9, NumEntities)
+        if (ec == ea) ec = (ec + 1) % NumEntities
+        val (p1, pred1) = relations(Rng.nextInt(seed, i, base + 3, relations.size))
+        val (p2, pred2) = relations(Rng.nextInt(seed, i, base + 10, relations.size))
+        blocks += Vector(
+          Ment(entityName(ea), entityId(ea), 1.0),
+          Plain(", which " + p1),
+          Ment(entityName(eb), entityId(eb), 1.0),
+          Plain(", " + p2),
+          Ment(entityName(ec), entityId(ec), 1.0),
+          Plain(".")
+        )
+        triples += Triple(entityId(canonicalOf(ea)), pred1,
+          entityId(canonicalOf(eb)), url, 1.0)
+        triples += Triple(entityId(canonicalOf(ea)), pred2,
+          entityId(canonicalOf(ec)), url, 1.0)
       } else {
         // Filler sentence, optionally with one ambiguous bare-noun mention.
         val nWords = 5 + Rng.nextInt(seed, i, base + 1, 7)

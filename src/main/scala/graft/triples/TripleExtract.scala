@@ -33,35 +33,63 @@ object TripleExtract {
 
   /** Candidates from already-scanned mentions (shared with the fused
     * single-pass scan in [[graft.link.Mentions.scanPages]]).
+    *
+    * Grammar, all gap-EXACT (a `never <phrase>` gap stays silent):
+    *  - fact: `A <phrase> B` → (A, pred, B)
+    *  - n-ary: `A <phrase> B and C …` distributes pred over conjuncts
+    *  - nested clause: `A , which <p1> B , <p2> C` → (A, p1, B) from the
+    *    parenthetical AND (A, p2, C) for the outer relation — the clause's
+    *    ANCHOR (A), not its object (B), is the outer subject. The comma
+    *    grammar is unambiguous: `, which <p1>` opens a clause, a following
+    *    `, <p2>` closes it and resumes the anchor.
     */
   def candidatesFromMentions(url: String, text: String,
                              ms: Seq[graft.Mention],
                              phrases: Map[String, String]): Seq[RelCandidate] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[RelCandidate]
+    var clauseAnchor = -1 // begin offset of the open clause's anchor subject
     var i = 0
     while (i + 1 < ms.length) {
       val a = ms(i); val b = ms(i + 1)
       val gap = text.substring(a.end, b.begin)
       if (!gap.contains('\n')) {
         val phrase = gap.trim
-        phrases.get(phrase).foreach { pred =>
-          out += RelCandidate(url, a.begin, b.begin, pred)
-          // N-ary conjunction: `A <phrase> B and C and D …` distributes the
-          // predicate over every conjunct — (A, pred, C), (A, pred, D).
-          // The conjunct gap must be exactly "and" (same block), so plain
-          // adjacent pairs (B, C) never match a phrase and stay silent.
-          var j = i + 2
-          var chained = true
-          while (chained && j < ms.length) {
-            val prev = ms(j - 1); val c = ms(j)
-            val g = text.substring(prev.end, c.begin)
-            if (!g.contains('\n') && g.trim == "and") {
-              out += RelCandidate(url, a.begin, c.begin, pred)
-              j += 1
-            } else chained = false
-          }
+        phrases.get(phrase) match {
+          case Some(pred) =>
+            out += RelCandidate(url, a.begin, b.begin, pred)
+            // N-ary conjunction: `A <phrase> B and C and D …` distributes
+            // the predicate over every conjunct — (A, pred, C), (A, pred, D).
+            // The conjunct gap must be exactly "and" (same block), so plain
+            // adjacent pairs (B, C) never match a phrase and stay silent.
+            var j = i + 2
+            var chained = true
+            while (chained && j < ms.length) {
+              val prev = ms(j - 1); val c = ms(j)
+              val g = text.substring(prev.end, c.begin)
+              if (!g.contains('\n') && g.trim == "and") {
+                out += RelCandidate(url, a.begin, c.begin, pred)
+                j += 1
+              } else chained = false
+            }
+            clauseAnchor = -1
+          case None =>
+            if (phrase.startsWith(", which ")) {
+              // `, which <p1>` — parenthetical clause about A.
+              phrases.get(phrase.substring(8)) match {
+                case Some(pred) =>
+                  out += RelCandidate(url, a.begin, b.begin, pred)
+                  clauseAnchor = a.begin
+                case None => clauseAnchor = -1
+              }
+            } else if (clauseAnchor >= 0 && phrase.startsWith(", ")) {
+              // `, <p2>` after a clause: outer relation resumes the anchor.
+              phrases.get(phrase.substring(2)).foreach { pred =>
+                out += RelCandidate(url, clauseAnchor, b.begin, pred)
+              }
+              clauseAnchor = -1
+            } else clauseAnchor = -1
         }
-      }
+      } else clauseAnchor = -1
       i += 1
     }
     out.toSeq

@@ -90,6 +90,31 @@ class CorefExtractSpec extends SparkSpec {
     if (nl < 0) 0 else nl + 1
   }
 
+  test("nested clause binds the outer relation to the anchor, not the clause object") {
+    val text = "Page 6 about Acme Labs\n" +
+      "Acme Labs , which acquired Beta Corp , was founded by Gamma Inc ."
+    val ms = Mentions.scanText("u", text, trie)
+    val cands = TripleExtract.allCandidates("u", text, ms, phrases)
+    assert(cands.length == 2, s"got $cands")
+    val clause = cands.find(_.pred == "acquired").get
+    assert(text.substring(clause.beginA).startsWith("Acme Labs"))
+    assert(text.substring(clause.beginB).startsWith("Beta Corp"))
+    val outer = cands.find(_.pred == "founded_by").get
+    // The naive adjacent-pair reading would be (Beta Corp, founded_by, …).
+    assert(text.substring(outer.beginA).startsWith("Acme Labs"),
+      s"outer subject is the clause object, not the anchor: $outer")
+    assert(text.substring(outer.beginB).startsWith("Gamma Inc"))
+
+    // A bare `, <phrase>` with NO open clause stays silent; so does
+    // `, which <non-phrase>` followed by `, <phrase>` (anchor was reset).
+    val bare = "Page 7 about Acme Labs\n" +
+      "Beta Corp , acquired Gamma Inc .\n" +
+      "Acme Labs , which reviewed Beta Corp , acquired Gamma Inc ."
+    val bareCands = TripleExtract.allCandidates("u", bare,
+      Mentions.scanText("u", bare, trie), phrases)
+    assert(bareCands.isEmpty, s"hallucinated: $bareCands")
+  }
+
   test("synthesized anaphora sentences round-trip exactly through the fused extractor") {
     import spark.implicits._
     val pages = graft.synth.PageSynth.pages(spark, 77L, 300L, 4)
