@@ -3,7 +3,7 @@ package graft.sources.v2
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -141,14 +141,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     }
 }
 
-/** The bucket transform's function: pmod(xxhash64(key), n) — EXACTLY
+/** The bucket transform's function: pmod(murmur3(key), n) — EXACTLY
   * [[graft.io.IcebergishTable.partExpr]], so the value Catalyst would
   * compute for a row agrees with the directory the writer placed it in.
+  * Murmur3 (seed 42) is also what Spark's HashPartitioning computes, which
+  * is WHY the writer's repartition-on-key aligns shuffle partitions 1:1
+  * with buckets (see partExpr's doc).
   */
 object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =
-    "bucket(n, key): pmod(xxhash64(key), n) — IcebergishTable's layout"
+    "bucket(n, key): pmod(murmur3(key), n) — IcebergishTable's layout"
 
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 2 &&
@@ -165,14 +168,15 @@ object GraftBucketBound extends ScalarFunction[Integer] {
   override def name(): String = "bucket"
   // Canonical identity drives storage-partitioned-join compatibility: two
   // scans whose transforms share this name + bucket count are co-partitioned.
-  override def canonicalName(): String = "graft.bucket.xxhash64"
+  override def canonicalName(): String = "graft.bucket.murmur3"
   override def isResultNullable: Boolean = false
 
   override def produceResult(input: InternalRow): Integer = {
     val n = input.getInt(0)
     val key = input.getUTF8String(1)
-    // Spark's xxhash64 over a string column: XXH64(bytes, seed = 42).
-    val h = XxHash64Function.hash(key, StringType, 42L)
-    (((h % n) + n) % n).toInt
+    // Spark's hash() over a string column: Murmur3 (32-bit), seed 42 —
+    // identical to HashPartitioning's partition-id hash.
+    val h = Murmur3HashFunction.hash(key, StringType, 42L).toInt
+    ((h % n) + n) % n
   }
 }

@@ -92,7 +92,7 @@ object GraftPartMetadataColumn extends MetadataColumn {
   override def dataType(): DataType = IntegerType
   override def isNullable: Boolean = false
   override def comment(): String =
-    "hash bucket index: pmod(xxhash64(bucket key), buckets)"
+    "hash bucket index: pmod(murmur3(bucket key), buckets)"
 }
 
 /** V1Write bridge: the insert re-enters [[IcebergishTable.write]], which

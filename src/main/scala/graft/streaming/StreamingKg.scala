@@ -117,8 +117,8 @@ object StreamingKg {
       "pending")))
     val withPart = batch.withColumn(IcebergishTable.PartCol,
       IcebergishTable.partExpr("subj", numParts))
-    val deduped = GraphOut.bucketedDedupPlan(withPart, numParts * 2,
-      Seq("subj", "pred", "obj", "url"))
+    val deduped = GraphOut.bucketedDedupPlanAligned(withPart, numParts,
+      "subj", Seq("subj", "pred", "obj", "url"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deduped.count() // this batch's rows, not a whole-table rescan
     IcebergishTable.appendPrePartitioned(deduped, table, numParts, "subj")

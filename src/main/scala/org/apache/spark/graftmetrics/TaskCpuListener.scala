@@ -39,3 +39,8 @@ final class TaskCpuListener extends SparkListener {
     cpuNs.get() / 1e9
   }
 }
+
+/** Dev-tool bridge: flush the listener bus (private[spark]). */
+object ListenerFlush {
+  def flush(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+}

@@ -23,7 +23,7 @@ class GraftCatalogSpec extends SparkSpec {
         concat(lit("u"), col("id")).as("url"), lit(1.0).as("conf"))
     IcebergishTable.write(edges, s"$dir/edges", "subj", 8)
     val vertices = graft.materialize.GraphOut
-      .verticesBucketedPlan(edges, 8, 8)
+      .verticesBucketedPlan(edges, 8)
       .select(col("id"), col("label"),
         col("props")("degree").cast("long").as("degree"),
         col(IcebergishTable.PartCol))
@@ -154,7 +154,7 @@ class GraftCatalogSpec extends SparkSpec {
     val misplaced = spark.table("graft.edges")
       .where(col("subj").startsWith("w"))
       .select(col("part"),
-        pmod(xxhash64(col("subj")), lit(8)).cast("int").as("want"))
+        pmod(hash(col("subj")), lit(8)).cast("int").as("want"))
       .where(col("part") =!= col("want")).count()
     assert(misplaced == 0, s"$misplaced rows in the wrong bucket")
     // And the appended table still time-travels: the pre-append snapshot

@@ -107,7 +107,7 @@ class PlanSpec extends SparkSpec {
       .select(concat(lit("s"), col("id") % 80).as("subj"),
         lit("p").as("pred"), concat(lit("o"), col("id") % 40).as("obj"),
         concat(lit("u"), col("id")).as("url"), lit(1.0).as("conf"))
-    val fused = graft.materialize.GraphOut.verticesBucketedPlan(triples, 8, 16)
+    val fused = graft.materialize.GraphOut.verticesBucketedPlan(triples, 8)
     val plan = fused.queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
