@@ -192,6 +192,16 @@ object Pipeline {
         edges, s"${cfg.workDir}/vertices", cfg.outputBuckets,
         ckpt, cfg.runId, "vertices", inputTag = inputTag)
     }
+    // Cross-table atomic publish: pin (pages, edges, vertices) snapshots in
+    // one root commit — a reader resolving through the root can never see
+    // new edges with old vertices (the torn window between the two stage
+    // commits above). See io.RootCommit.
+    timed("root commit") {
+      graft.io.RootCommit.commit(cfg.workDir, Map(
+        "pages" -> IcebergishTable.currentSnapshot(table),
+        "edges" -> IcebergishTable.currentSnapshot(edgesTable),
+        "vertices" -> IcebergishTable.currentSnapshot(s"${cfg.workDir}/vertices")))
+    }
     edgeStats.rowsWritten
   }
 
