@@ -354,6 +354,46 @@ object SparkEntry {
         case (k, None) => s.conf.unset(k)
       }
     }),
+    "kg_writeto" -> ((s, _) => {
+      // DSv2 WRITE path round trip, oracle-verified: CTAS through the
+      // catalog (hidden bucket partitioning), a second append, then one
+      // aggregate over the CURRENT table and one over the snapshot-pinned
+      // CTAS state (time travel). DuckDB recomputes both slices from
+      // range() — any row lost/duplicated/misbucketed by the write path or
+      // the snapshot pinning breaks the hash compare.
+      import org.apache.spark.sql.functions.bucket
+      val dir = java.nio.file.Files.createTempDirectory("graft-wt").toString
+      val touched = Seq("spark.sql.catalog.graft_w",
+        "spark.sql.catalog.graft_w.warehouse")
+      val saved = touched.map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.catalog.graft_w",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_w.warehouse", dir)
+      try {
+        s.range(0, 1000)
+          .select(concat(lit("k"), col("id") % 37).as("k"), col("id").as("v"))
+          .writeTo("graft_w.t")
+          .partitionedBy(bucket(4, col("k")))
+          .create()
+        val ctasSnap = graft.io.IcebergishTable.currentSnapshot(s"$dir/t")
+        s.range(1000, 1500)
+          .select(concat(lit("k"), col("id") % 37).as("k"), col("id").as("v"))
+          .writeTo("graft_w.t").append()
+        def agg(df: DataFrame, tag: String) = df
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+          .select(lit(tag).as("tag"), col("k"), col("n"), col("sum_v"))
+        agg(s.table("graft_w.t"), "current")
+          .unionAll(agg(
+            s.read.option("snapshot", ctasSnap.toString).table("graft_w.t"),
+            "ctas"))
+          .orderBy(col("tag"), col("k"))
+          .localCheckpoint() // eager: executes before the conf restore
+      } finally saved.foreach {
+        case (k, Some(prev)) => s.conf.set(k, prev)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
     "kg_checkpoint" -> ((s, _) => {
       // Run a small checkpointed build and return its lineage table.
       import s.implicits._
@@ -397,6 +437,15 @@ object SparkEntry {
       "FROM big JOIN dim USING (key) GROUP BY grp"
 
   def oracleSql: Map[String, String] = Map(
+    "kg_writeto" ->
+      // Recompute both slices of the catalog-write round trip from range():
+      // "current" = CTAS slice + append slice, "ctas" = the snapshot-pinned
+      // first slice only.
+      ("SELECT 'current' AS tag, 'k' || CAST(i % 37 AS VARCHAR) AS k, " +
+        "count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_v FROM range(1500) t(i) GROUP BY 2 " +
+        "UNION ALL " +
+        "SELECT 'ctas', 'k' || CAST(i % 37 AS VARCHAR), count(*), " +
+        "CAST(sum(i) AS BIGINT) FROM range(1000) t(i) GROUP BY 2"),
     "q_skew_salted" -> skewOracle,
     "q_skew_plain" -> skewOracle,
     "s1_scan_project" ->
