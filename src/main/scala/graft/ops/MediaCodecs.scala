@@ -2,14 +2,16 @@ package graft.ops
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM codecs for the two uncompressed media containers that need no
-  * codec library: 24-bit BMP (BITMAPINFOHEADER) and PCM16 WAV (RIFF).
+/** Pure-JVM codecs for the three uncompressed media containers that need no
+  * codec library: 24-bit BMP (BITMAPINFOHEADER), PCM16 WAV (RIFF), and
+  * AVI with uncompressed DIB ('00db') video frames (RIFF).
   *
-  * These make the multimodal pipeline's decode kernels REAL — byte-level
-  * parse, exact pixel/sample recovery — where compressed formats (JPEG,
-  * MP3, H.264) remain loudly-labeled stubs in [[Multimodal]] because the
-  * sandbox ships no codec libraries. Encoders exist so tests and the
-  * synthesizer can produce valid payloads deterministically.
+  * These make ALL THREE of the multimodal pipeline's decode kernels REAL —
+  * byte-level container parse, exact pixel/sample/frame recovery.
+  * Compressed codecs (JPEG, MP3, H.264) stay out of scope: the sandbox
+  * ships no codec libraries, and the container layer — the part a Spark
+  * pipeline owns — is fully exercised without them. Encoders exist so
+  * tests and the synthesizer can produce valid payloads deterministically.
   *
   * Everything here is a pure function over byte arrays: it runs inside
   * `mapPartitions` batches on executors, never on the driver.
@@ -155,6 +157,154 @@ object MediaCodecs {
     var i = 0
     while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
     buf.array()
+  }
+
+  final case class Avi(width: Int, height: Int, fps: Int,
+                       frames: Vector[Bmp])
+
+  /** Encode an AVI (RIFF) file with an uncompressed 24-bit DIB video
+    * stream: `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' 00db…) idx1)` — the canonical layout of an
+    * uncompressed-video AVI. Frames are bottom-up BGR rows with 4-byte
+    * padding (the DIB wire format, same as BMP pixel data).
+    */
+  def encodeAvi(width: Int, height: Int, fps: Int,
+                frames: Seq[(Int, Int) => (Int, Int, Int)]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && frames.nonEmpty,
+      s"bad AVI params ${width}x$height@$fps×${frames.size}")
+    val stride = rowStride(width)
+    val frameSize = stride * height
+    // sizes: hdrl list = 4(type) + (8+56)avih + 8+4+(8+56)strh+(8+40)strf
+    val strlSize = 4 + 64 + 48
+    val hdrlSize = 4 + 64 + 8 + strlSize
+    val moviSize = 4 + frames.size * (8 + frameSize)
+    val idx1Size = frames.size * 16
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps) // dwMicroSecPerFrame
+    buf.putInt(frameSize * fps) // dwMaxBytesPerSec
+    buf.putInt(0) // padding granularity
+    buf.putInt(0x10) // AVIF_HASINDEX
+    buf.putInt(frames.size) // dwTotalFrames
+    buf.putInt(0) // initial frames
+    buf.putInt(1) // streams
+    buf.putInt(frameSize) // suggested buffer size
+    buf.putInt(width); buf.putInt(height)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0) // reserved
+    fourcc("LIST"); buf.putInt(strlSize); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0); buf.putInt(0); buf.putInt(0) // flags, prio+lang, initial
+    buf.putInt(1); buf.putInt(fps) // dwScale=1, dwRate=fps
+    buf.putInt(0); buf.putInt(frames.size) // start, length (frames)
+    buf.putInt(frameSize); buf.putInt(-1); buf.putInt(0) // bufsize, quality, samplesize
+    buf.putShort(0); buf.putShort(0) // rcFrame left, top
+    buf.putShort(width.toShort); buf.putShort(height.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40); buf.putInt(width); buf.putInt(height)
+    buf.putShort(1); buf.putShort(24)
+    buf.putInt(0) // BI_RGB
+    buf.putInt(frameSize)
+    buf.putInt(2835); buf.putInt(2835); buf.putInt(0); buf.putInt(0)
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    val offsets = frames.map { pixel =>
+      val off = buf.position() - (8 + 8 + hdrlSize + 8 + 4) // rel. to 'movi'+4
+      fourcc("00db"); buf.putInt(frameSize)
+      var y = height - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pixel(x, y)
+          buf.put(b.toByte).put(g.toByte).put(r.toByte)
+          x += 1
+        }
+        var pad = stride - width * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      off + 4
+    }
+    fourcc("idx1"); buf.putInt(idx1Size)
+    offsets.foreach { off =>
+      fourcc("00db"); buf.putInt(0x10) // AVIIF_KEYFRAME
+      buf.putInt(off); buf.putInt(frameSize)
+    }
+    buf.array()
+  }
+
+  /** Decode an uncompressed-DIB AVI: full RIFF walk (hdrl → avih + strf for
+    * geometry/bpp, movi list for '00db'/'00dc' frame chunks — nested 'rec '
+    * lists included, as interleaved writers emit them). Returns top-down
+    * RGB frames. Compressed streams (strf.biCompression != 0) fail loudly.
+    */
+  def decodeAvi(bytes: Array[Byte]): Avi = {
+    require(bytes.length >= 12, s"truncated AVI: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      s"missing RIFF/AVI magic: ${fourcc(0)}/${fourcc(8)}")
+    var width = -1; var height = -1; var fps = 30
+    var bpp = -1; var compression = -1
+    val frames = Vector.newBuilder[Bmp]
+    def decodeFrame(off: Int, size: Int): Bmp = {
+      val stride = rowStride(width)
+      require(size >= stride * height,
+        s"frame chunk too small: $size < ${stride * height}")
+      val rgb = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val base = off + (height - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < width) {
+          val dst = (y * width + x) * 3
+          rgb(dst) = bytes(base + x * 3 + 2)
+          rgb(dst + 1) = bytes(base + x * 3 + 1)
+          rgb(dst + 2) = bytes(base + x * 3)
+          x += 1
+        }
+        y += 1
+      }
+      Bmp(width, height, rgb)
+    }
+    // Recursive chunk walk: LIST chunks nest, everything else is flat.
+    def walk(off: Int, end: Int): Unit = {
+      var o = off
+      while (o + 8 <= end) {
+        val id = fourcc(o)
+        val size = buf.getInt(o + 4)
+        require(size >= 0 && o + 8 + size <= end,
+          s"chunk $id overruns container (size=$size at off=$o)")
+        id match {
+          case "LIST" => walk(o + 12, o + 8 + size) // skip list-type fourcc
+          case "avih" =>
+            require(size >= 40, s"avih too small: $size")
+            val usPerFrame = buf.getInt(o + 8)
+            if (usPerFrame > 0) fps = math.max(1, 1000000 / usPerFrame)
+          case "strf" if width < 0 =>
+            require(size >= 40, s"strf too small: $size")
+            width = buf.getInt(o + 12)
+            height = math.abs(buf.getInt(o + 16))
+            bpp = buf.getShort(o + 22)
+            compression = buf.getInt(o + 24)
+            require(bpp == 24, s"unsupported bpp $bpp (only 24-bit DIB)")
+            require(compression == 0,
+              s"unsupported compression $compression (only BI_RGB)")
+          case c if c.length == 4 && (c.endsWith("db") || c.endsWith("dc")) =>
+            require(width > 0, s"frame chunk $c before strf header")
+            frames += decodeFrame(o + 8, size)
+          case _ => // skip (strh, idx1, JUNK, …)
+        }
+        o += 8 + size + (size & 1) // word alignment
+      }
+    }
+    walk(12, bytes.length)
+    val fs = frames.result()
+    require(fs.nonEmpty, "no video frame chunks found")
+    Avi(width, height, fps, fs)
   }
 
   /** Decode PCM16 WAV: chunk walk (fmt may be followed by LIST/fact etc.

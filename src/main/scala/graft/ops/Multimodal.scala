@@ -19,10 +19,14 @@ import graft.synth.Rng
   *  - audio = PCM16 WAV — REAL RIFF chunk-walk decode
   *    ([[MediaCodecs.decodeWavPcm16]]), features from actual samples
   *    (RMS, zero-crossing rate, amplitude histogram).
-  *  - video: the container ships no inter-frame codec, so the video path is
-  *    a STUB — deterministic fake payloads, block-sampled "frames" — while
-  *    the Spark-side plumbing (schema, partitioning, batch-shaped
-  *    `mapPartitions`, explode shape) is real and tested.
+  *  - video = AVI with uncompressed 24-bit DIB frames — REAL RIFF container
+  *    walk ([[MediaCodecs.decodeAvi]]): real frame recovery, features from
+  *    actual pixels across frames (incl. temporal motion energy), frame
+  *    sampling re-encodes real frames as BMP for downstream image stages.
+  *
+  * Compressed codecs (JPEG/MP3/H.264) are out of scope in this sandbox (no
+  * codec libraries); the container/pipeline layer is fully real for all
+  * three modalities.
   */
 object Multimodal {
 
@@ -43,9 +47,9 @@ object Multimodal {
                          frame_bytes: Array[Byte])
 
   /** Deterministic synthetic media table. Image payloads are VALID 24-bit
-    * BMPs (counter-PRNG pixels), audio payloads are VALID PCM16 WAVs —
-    * real containers the decode kernels parse byte-for-byte. Video payloads
-    * are opaque PRNG bytes (stub — see object doc).
+    * BMPs (counter-PRNG pixels), audio payloads are VALID PCM16 WAVs,
+    * video payloads are VALID uncompressed-DIB AVIs — real containers the
+    * decode kernels parse byte-for-byte.
     */
   def synthesize(spark: SparkSession, seed: Long, n: Long,
                  partitions: Int = 8): Dataset[MediaRow] = {
@@ -69,11 +73,16 @@ object Multimodal {
           MediaRow(i, kind, MediaCodecs.encodeWavPcm16(rate, 1, samples),
             0, 0, rate, 0)
         case _ =>
-          val len = 256 + Rng.nextInt(seed, i, 1, 1024)
-          val payload = Array.tabulate(len)(j => Rng.at(seed, i, 100L + j).toByte)
-          MediaRow(i, kind, payload,
-            64 + Rng.nextInt(seed, i, 5, 256), 64 + Rng.nextInt(seed, i, 6, 256), 0,
-            4 + Rng.nextInt(seed, i, 7, 28))
+          val w = 4 + Rng.nextInt(seed, i, 5, 16)
+          val h = 4 + Rng.nextInt(seed, i, 6, 16)
+          val nFrames = 4 + Rng.nextInt(seed, i, 7, 12)
+          val fps = Vector(10, 25, 30)(Rng.nextInt(seed, i, 8, 3))
+          val avi = MediaCodecs.encodeAvi(w, h, fps,
+            (0 until nFrames).map { f => (x: Int, y: Int) =>
+              val v = Rng.at(seed, i, 1000L + f.toLong * w * h + y.toLong * w + x)
+              ((v & 0xff).toInt, ((v >>> 8) & 0xff).toInt, ((v >>> 16) & 0xff).toInt)
+            })
+          MediaRow(i, kind, avi, w, h, 0, nFrames)
       }
     }
   }
@@ -137,24 +146,49 @@ object Multimodal {
     out
   }
 
-  /** STUB decode kernel for the video path ONLY (no inter-frame codec in
-    * the sandbox): deterministic fake features from payload bytes.
+  /** Video features from REAL decoded AVI frames: mean R/G/B and mean
+    * luminance over all frames' pixels, temporal motion energy (mean
+    * |Δluma| between consecutive frames), then a (dim-5)-bin luminance
+    * histogram — the spatial stats of [[imageFeatures]] plus the temporal
+    * axis only video has.
     */
-  private def stubDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+  private[graft] def videoFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val avi = MediaCodecs.decodeAvi(payload)
     val out = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xff) / 255.0f
-      i += 1
+    val nPix = avi.width * avi.height
+    val bins = dim - 5
+    var prevLuma: Array[Int] = null
+    var motion = 0.0
+    avi.frames.foreach { f =>
+      val luma = new Array[Int](nPix)
+      var i = 0
+      while (i < nPix) {
+        val r = f.rgb(i * 3) & 0xff
+        val g = f.rgb(i * 3 + 1) & 0xff
+        val b = f.rgb(i * 3 + 2) & 0xff
+        out(0) += r / 255.0f
+        out(1) += g / 255.0f
+        out(2) += b / 255.0f
+        val l = (r * 299 + g * 587 + b * 114) / 1000
+        luma(i) = l
+        out(3) += l / 255.0f
+        if (bins > 0) out(5 + math.min(bins - 1, l * bins / 256)) += 1.0f
+        if (prevLuma != null) motion += math.abs(l - prevLuma(i)) / 255.0
+        i += 1
+      }
+      prevLuma = luma
     }
+    val total = nPix * avi.frames.size
     var d = 0
-    while (d < dim) { out(d) = out(d) / math.max(1, payload.length / dim); d += 1 }
+    while (d < dim) { if (d != 4) out(d) /= total; d += 1 }
+    if (avi.frames.size > 1)
+      out(4) = (motion / (nPix.toLong * (avi.frames.size - 1))).toFloat
     out
   }
 
   /** Batched feature extraction — one "codec" per partition, rows streamed
-    * through it (the mapInPandas batch shape). Image/audio rows go through
-    * the REAL decoders; video rows through the labeled stub.
+    * through it (the mapInPandas batch shape). All three kinds go through
+    * REAL byte-level decoders.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -167,54 +201,56 @@ object Multimodal {
         val feat = r.kind match {
           case "image" => imageFeatures(r.payload, dim)
           case "audio" => audioFeatures(r.payload, dim)
-          case _ => stubDecodeFeatures(r.payload, dim) // video: STUB
+          case _ => videoFeatures(r.payload, dim)
         }
         MediaFeature(r.media_id, r.kind, feat)
       }
     }
   }
 
-  /** Resize: REAL nearest-neighbor pixel resample + re-encode for images;
-    * audio passes through; video truncates proportionally (STUB — no
-    * codec to transcode with).
+  /** Resize: REAL nearest-neighbor pixel resample + re-encode — images as
+    * BMP, video as per-frame resample + AVI re-encode; audio passes
+    * through.
     */
   def resize(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { r =>
       if (r.kind == "audio" || math.max(r.width, r.height) <= maxSide) r
-      else if (r.kind == "image") {
+      else {
         val scale = maxSide.toDouble / math.max(r.width, r.height)
         val w = math.max(1, (r.width * scale).toInt)
         val h = math.max(1, (r.height * scale).toInt)
-        val resampled = MediaCodecs.resampleBmp(MediaCodecs.decodeBmp(r.payload), w, h)
-        r.copy(width = w, height = h,
-          payload = MediaCodecs.encodeBmp(w, h, (x, y) => resampled.pixel(x, y)))
-      } else {
-        val scale = maxSide.toDouble / math.max(r.width, r.height)
-        val w = math.max(1, (r.width * scale).toInt)
-        val h = math.max(1, (r.height * scale).toInt)
-        val newLen = math.max(16, (r.payload.length * scale * scale).toInt)
-        r.copy(width = w, height = h,
-          payload = r.payload.take(math.min(newLen, r.payload.length)))
+        if (r.kind == "image") {
+          val resampled = MediaCodecs.resampleBmp(MediaCodecs.decodeBmp(r.payload), w, h)
+          r.copy(width = w, height = h,
+            payload = MediaCodecs.encodeBmp(w, h, (x, y) => resampled.pixel(x, y)))
+        } else {
+          val avi = MediaCodecs.decodeAvi(r.payload)
+          val small = avi.frames.map(MediaCodecs.resampleBmp(_, w, h))
+          r.copy(width = w, height = h,
+            payload = MediaCodecs.encodeAvi(w, h, avi.fps,
+              small.map(f => (x: Int, y: Int) => f.pixel(x, y))))
+        }
       }
     }
   }
 
-  /** Frame sampling for video rows: every `stride`-th 16-byte block of the
-    * payload is a "frame" (STUB for keyframe extraction); output is the
-    * exploded (media_id, frame_idx, bytes) shape a caption/CLIP stage
-    * consumes.
+  /** Frame sampling for video rows: every `stride`-th REAL decoded frame,
+    * re-encoded as a standalone BMP — the exploded (media_id, frame_idx,
+    * frame_bytes) shape a caption/CLIP stage consumes, with frame_bytes
+    * directly consumable by the image kernels ([[imageFeatures]]).
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val blockSize = 16
-      val nBlocks = r.payload.length / blockSize
-      (0 until nBlocks by stride).zipWithIndex.map { case (b, idx) =>
+      val avi = MediaCodecs.decodeAvi(r.payload)
+      avi.frames.indices.by(stride).zipWithIndex.map { case (f, idx) =>
+        val frame = avi.frames(f)
         Frame(r.media_id, idx,
-          java.util.Arrays.copyOfRange(r.payload, b * blockSize, (b + 1) * blockSize))
+          MediaCodecs.encodeBmp(frame.width, frame.height,
+            (x, y) => frame.pixel(x, y)))
       }
     }
   }

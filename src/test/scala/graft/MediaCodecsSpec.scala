@@ -3,7 +3,8 @@ package graft
 import graft.ops.{MediaCodecs, Multimodal}
 
 /** Byte-level correctness of the pure-JVM media codecs (24-bit BMP, PCM16
-  * WAV) and the real decode-based feature/resize kernels built on them.
+  * WAV, uncompressed-DIB AVI) and the real decode-based feature/resize/
+  * frame-sample kernels built on them.
   */
 class MediaCodecsSpec extends SparkSpec {
 
@@ -103,6 +104,70 @@ class MediaCodecsSpec extends SparkSpec {
     assert(f(3) == 32767f / 32768f, s"peak ${f(3)}")
   }
 
+  test("AVI encode/decode round-trip recovers exact frames (RIFF walk, idx1 skipped)") {
+    // 3 frames of 3x2 (padded rows), distinct per-frame pixels.
+    def px(f: Int)(x: Int, y: Int): (Int, Int, Int) = (f * 50 + y * 3 + x, f, 255 - f)
+    val bytes = MediaCodecs.encodeAvi(3, 2, 25, (0 until 3).map(f => px(f) _))
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+    val avi = MediaCodecs.decodeAvi(bytes)
+    assert(avi.width == 3 && avi.height == 2 && avi.fps == 25)
+    assert(avi.frames.size == 3)
+    for (f <- 0 until 3; y <- 0 until 2; x <- 0 until 3)
+      assert(avi.frames(f).pixel(x, y) == px(f)(x, y), s"frame $f ($x,$y)")
+
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeAvi("RIFFxxxxWAVE".getBytes("US-ASCII") ++ new Array[Byte](40))
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeAvi(bytes.take(60)) // truncated mid-header
+    }
+    // Compressed stream must fail loudly, not silently garbage-decode:
+    val compressed = bytes.clone()
+    val cb = java.nio.ByteBuffer.wrap(compressed).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // strf biCompression sits 24 bytes into the strf payload; find 'strf'.
+    val strfOff = (0 until compressed.length - 4)
+      .find(i => new String(compressed, i, 4, "US-ASCII") == "strf").get
+    cb.putInt(strfOff + 8 + 16, 1) // BI_RLE8
+    intercept[IllegalArgumentException] { MediaCodecs.decodeAvi(compressed) }
+  }
+
+  test("video features come from real decoded frames (exact motion energy)") {
+    // Frame 0 solid black, frame 1 solid white, frame 2 black again:
+    // mean luma = 1/3 of white's, motion energy = |Δluma| = 1.0 across both
+    // transitions.
+    val colors = Vector((0, 0, 0), (255, 255, 255), (0, 0, 0))
+    val bytes = MediaCodecs.encodeAvi(4, 4, 10,
+      colors.map(c => (_: Int, _: Int) => c))
+    val f = Multimodal.videoFeatures(bytes, 16)
+    assert(math.abs(f(3) - 1.0f / 3) < 1e-6, s"mean luma ${f(3)}")
+    assert(math.abs(f(4) - 1.0f) < 1e-6, s"motion ${f(4)}")
+    // Static video has zero motion energy:
+    val static = MediaCodecs.encodeAvi(4, 4, 10,
+      Vector.fill(3)((_: Int, _: Int) => (100, 100, 100)))
+    assert(Multimodal.videoFeatures(static, 16)(4) == 0.0f)
+  }
+
+  test("sampleFrames yields real decodable frames matching the source video") {
+    import spark.implicits._
+    val media = Multimodal.synthesize(spark, 4242L, 60L)
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    val byId = media.filter(_.kind == "video").collect()
+      .map(r => r.media_id -> r).toMap
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      val src = MediaCodecs.decodeAvi(byId(id).payload)
+      fs.foreach { fr =>
+        // frame_idx-th sampled frame == source frame at idx*stride, exactly.
+        val decoded = MediaCodecs.decodeBmp(fr.frame_bytes)
+        val expected = src.frames(fr.frame_idx * 2)
+        assert(decoded.rgb.sameElements(expected.rgb),
+          s"media $id frame ${fr.frame_idx}")
+      }
+      assert(fs.length == (src.frames.size + 1) / 2)
+    }
+  }
+
   test("synthesized payloads are valid containers; e2e decode through the Spark path") {
     val media = Multimodal.synthesize(spark, 4242L, 120L).collect()
     media.filter(_.kind == "image").foreach { r =>
@@ -111,6 +176,11 @@ class MediaCodecsSpec extends SparkSpec {
     }
     media.filter(_.kind == "audio").foreach { r =>
       assert(MediaCodecs.decodeWavPcm16(r.payload).sampleRate == r.sample_rate)
+    }
+    media.filter(_.kind == "video").foreach { r =>
+      val avi = MediaCodecs.decodeAvi(r.payload)
+      assert(avi.width == r.width && avi.height == r.height)
+      assert(avi.frames.size == r.n_frames)
     }
     // Distributed feature extraction decodes every image/audio payload for
     // real — any malformed container would throw in the executor.
@@ -126,6 +196,14 @@ class MediaCodecsSpec extends SparkSpec {
       assert(math.max(r.width, r.height) <= 8)
       val img = MediaCodecs.decodeBmp(r.payload)
       assert(img.width == r.width && img.height == r.height)
+    }
+    // Video resize transcodes for real: result is a valid AVI at the new
+    // geometry with the frame count preserved.
+    resized.filter(_.kind == "video").foreach { r =>
+      assert(math.max(r.width, r.height) <= 8)
+      val avi = MediaCodecs.decodeAvi(r.payload)
+      assert(avi.width == r.width && avi.height == r.height)
+      assert(avi.frames.size == r.n_frames)
     }
   }
 }

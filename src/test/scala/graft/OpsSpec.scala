@@ -166,7 +166,9 @@ class OpsSpec extends SparkSpec {
 
     val frames = Multimodal.sampleFrames(media, stride = 4).collect()
     assert(frames.nonEmpty)
-    assert(frames.forall(_.frame_bytes.length == 16))
+    // sampled frames are REAL standalone BMPs (decodable by the image kernel)
+    assert(frames.forall(f =>
+      ops.MediaCodecs.decodeBmp(f.frame_bytes).width > 0))
     val nVideos = media.filter(_.kind == "video").count()
     assert(frames.map(_.media_id).distinct.length.toLong == nVideos)
   }
