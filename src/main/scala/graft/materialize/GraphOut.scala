@@ -226,8 +226,7 @@ object GraphOut {
       if (skewSalt <= 1)
         bucketedDedupPlanAligned(scoped, numParts, keyCol, dedupCols)
       else
-        bucketedDedupPlan(scoped,
-          group.size * 2 * math.max(1, skewSalt), dedupCols, skewSalt)
+        bucketedDedupPlanAlignedSalted(scoped, numParts, dedupCols, skewSalt)
     }
   }
 
@@ -307,6 +306,60 @@ object GraphOut {
         col(IcebergishTable.PartCol), col(saltCol))
       dedupGroups(sub, withPart.columns, Seq(saltCol), dedupCols)
     }
+  }
+
+  /** Ints whose Spark-HashPartitioning partition id (pmod(murmur3(x), m))
+    * covers 0..m-1 exactly once: `inverseHashSlots(m)(s)` lands in shuffle
+    * slot `s`. Brute search, ~m·ln(m) murmur evaluations driver-side —
+    * microseconds at file-layout scale (m ≤ 10³).
+    */
+  private[graft] def inverseHashSlots(m: Int): Array[Int] = {
+    val out = new Array[Int](m)
+    val found = new Array[Boolean](m)
+    var remaining = m
+    var x = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(x, org.apache.spark.sql.types.IntegerType, 42L).toInt
+      val id = ((h % m) + m) % m
+      if (!found(id)) { found(id) = true; out(id) = x; remaining -= 1 }
+      x += 1
+    }
+    out
+  }
+
+  /** Bucket-aligned SALTED single-exchange dedup: each of the
+    * `numParts × skewSalt` (bucket, salt) slices becomes exactly ONE
+    * shuffle partition — even, non-empty reduce tasks like
+    * [[bucketedDedupPlanAligned]], but with hub buckets split `skewSalt`
+    * ways.
+    *
+    * Alignment trick: HashPartitioning can't be told "partition id =
+    * part·salt + wsalt" directly, and hashing (part, wsalt) into m slots
+    * collides birthday-style (measured occ 82% / p50 43 ms vs the aligned
+    * plan's one-whole-bucket tasks). Instead we shuffle on a synthetic int
+    * column looked up from [[inverseHashSlots]]: a literal array whose
+    * entry for slot s is an int that murmur3-hashes TO s. The salt stays a
+    * pure function of the dedup key (duplicates still meet), and the slot
+    * column joins the grouping keys so the child's HashPartitioning
+    * satisfies the aggregation — still exactly ONE exchange.
+    */
+  def bucketedDedupPlanAlignedSalted(withPart: DataFrame, numParts: Int,
+                                     dedupCols: Seq[String],
+                                     skewSalt: Int): DataFrame = {
+    require(dedupCols.nonEmpty, "salted dedup requires dedup columns")
+    val m = numParts * skewSalt
+    val saltCol = "_wsalt"
+    val slotCol = "_wslot"
+    val lookup = inverseHashSlots(m)
+    val salted = withPart
+      .withColumn(saltCol,
+        pmod(xxhash64(dedupCols.map(col): _*), lit(skewSalt)).cast("int"))
+      .withColumn(slotCol, element_at(
+        typedLit(lookup.toSeq),
+        col(IcebergishTable.PartCol) * skewSalt + col(saltCol) + 1))
+    val sub = salted.repartition(m, col(slotCol))
+    dedupGroups(sub, withPart.columns, Seq(slotCol, saltCol), dedupCols)
   }
 
   /** Vertex table from canonical triples: every subject/object id with its

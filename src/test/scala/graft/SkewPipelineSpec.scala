@@ -93,4 +93,53 @@ class SkewPipelineSpec extends SparkSpec {
     assert(perTask.max < 5000 / 8 * 3,
       s"salted max task too heavy: ${perTask.max}")
   }
+
+  test("ALIGNED salted plan: one exchange, one (bucket,salt) slice per task, exact dedup") {
+    import spark.implicits._
+    val nParts = 8
+    val salt = 4
+    val df = spark.range(0, 10000)
+      .select(
+        when(col("id") % 2 === 0, lit("HUB"))
+          .otherwise(concat(lit("s"), col("id") % 500)).as("subj"),
+        lit("p").as("pred"), concat(lit("o"), col("id")).as("obj"),
+        concat(lit("u"), col("id")).as("url"), lit(1.0).as("conf"))
+      .withColumn(IcebergishTable.PartCol, IcebergishTable.partExpr("subj", nParts))
+    val aligned = GraphOut.bucketedDedupPlanAlignedSalted(
+      df, nParts, Seq("subj", "pred", "obj", "url"), salt)
+    val plan = aligned.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+
+    // Result identical to the plain aligned plan's distinct set.
+    val plain = GraphOut.bucketedDedupPlanAligned(df, nParts, "subj",
+      Seq("subj", "pred", "obj", "url"))
+    assert(aligned.select("subj", "obj").as[(String, String)].collect().toSet ==
+      plain.select("subj", "obj").as[(String, String)].collect().toSet)
+
+    // PERFECT slot alignment: shuffle partition s holds exactly the rows of
+    // bucket s/salt (every task one whole (bucket,salt) slice — no birthday
+    // collisions, no empty tasks among populated slots).
+    val byTask = aligned
+      .groupBy(spark_partition_id().as("pid"), col(IcebergishTable.PartCol))
+      .count().as[(Int, Int, Long)].collect()
+    byTask.foreach { case (pid, part, _) =>
+      assert(pid / salt == part,
+        s"slot $pid holds bucket $part — expected bucket ${pid / salt}")
+    }
+    // The hub bucket occupies `salt` distinct tasks.
+    val hubPart = Seq("HUB").toDF("k")
+      .select(IcebergishTable.partExpr("k", nParts)).head().getInt(0)
+    val hubTasks = byTask.filter(_._2 == hubPart).map(_._1).distinct
+    assert(hubTasks.length == salt,
+      s"hub bucket split over ${hubTasks.length} tasks, expected $salt")
+
+    // inverseHashSlots really inverts HashPartitioning for the exact m.
+    val m = nParts * salt
+    val lookup = GraphOut.inverseHashSlots(m)
+    lookup.zipWithIndex.foreach { case (x, s) =>
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(x, org.apache.spark.sql.types.IntegerType, 42L).toInt
+      assert(((h % m) + m) % m == s)
+    }
+  }
 }
