@@ -103,7 +103,8 @@ object IcebergishTable {
 
   private def commit(table: String, snapshot: Int, schemaJson: String,
                      parts: Seq[Int], rows: Long,
-                     bucketKey: Option[(String, Int)] = None): Unit = {
+                     bucketKey: Option[(String, Int)] = None,
+                     epochUpdate: Map[String, Long] = Map.empty): Unit = {
     val d = dir(table)
     Files.createDirectories(d)
     // Snapshot manifest records the exact file list — Iceberg-style
@@ -116,8 +117,18 @@ object IcebergishTable {
     val bucketMeta = bucketKey
       .map { case (k, n) => s""""bucket_key":"${esc(k)}","buckets":$n,""" }
       .getOrElse("")
+    // Streaming epoch high-waters ride the manifest (carried forward on
+    // EVERY commit): the VERSION swap is then the single atomic point that
+    // commits a micro-batch's files AND records its epoch — no window where
+    // one is durable without the other (see streamCommit).
+    val epochs = manifestEpochs(table) ++ epochUpdate
+    val epochMeta =
+      if (epochs.isEmpty) ""
+      else epochs.toSeq.sorted
+        .map { case (q, e) => s""""${esc(q)}":$e""" }
+        .mkString("\"epochs\":{", ",", "},")
     val manifest =
-      s"""{"snapshot":$snapshot,"rows":$rows,$bucketMeta"partitions":[${parts.sorted.mkString(",")}],
+      s"""{"snapshot":$snapshot,"rows":$rows,$bucketMeta$epochMeta"partitions":[${parts.sorted.mkString(",")}],
          |"files":[${files.mkString(",")}],
          |"schema":$schemaJson}""".stripMargin.replace("\n", "")
     Files.write(d.resolve(s"snap-$snapshot.json"),
@@ -276,6 +287,74 @@ object IcebergishTable {
   /** Committed bucket spec (key, buckets) of the current snapshot, if any. */
   def bucketSpecOf(table: String): Option[(String, Int)] =
     if (!exists(table)) None else manifestMeta(table)._2
+
+  /** Per-streaming-query committed epoch high-waters recorded in the
+    * current manifest (empty for fresh tables / non-streamed tables).
+    */
+  def manifestEpochs(table: String): Map[String, Long] = {
+    val snap = currentSnapshot(table)
+    if (snap < 0) return Map.empty
+    val m = dir(table).resolve(s"snap-$snap.json")
+    if (!Files.exists(m)) return Map.empty
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    """"epochs":\{(.*?)\}""".r.findFirstMatchIn(json) match {
+      case None => Map.empty
+      case Some(g) =>
+        """"((?:[^"\\]|\\.)*)":(-?\d+)""".r.findAllMatchIn(g.group(1))
+          .map(p => p.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+            -> p.group(2).toLong)
+          .toMap
+    }
+  }
+
+  /** Commit one streaming micro-batch: promote `staged` files (written by
+    * the DSv2 StreamingWrite's DataWriters under `data/_staging/…`, hidden
+    * from every read and directory-based commit) into their bucket
+    * directories and commit a snapshot whose manifest records
+    * `queryId → epochId`.
+    *
+    * Exactly-once: an epoch at or below the recorded high-water is a replay
+    * — its staged files are discarded, nothing commits. A crash AFTER files
+    * were promoted but BEFORE the manifest swap leaves orphans in bucket
+    * dirs; the unconditional [[rollbackTo]](current) here sweeps them
+    * before promoting the retry (idempotent — a no-op when nothing is
+    * orphaned). Single-writer per table, like Iceberg's commit protocol.
+    */
+  def streamCommit(table: String, staged: Seq[(Int, String)],
+                   queryId: String, epochId: Long): Unit = {
+    val cur = currentSnapshot(table)
+    if (cur < 0) throw new graft.TableNotFound(table)
+    def sweepStaging(): Unit = {
+      val stagingQ = dir(table).resolve("data").resolve("_staging")
+        .resolve(s"q-$queryId")
+      if (Files.exists(stagingQ))
+        Files.walk(stagingQ).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    if (manifestEpochs(table).getOrElse(queryId, Long.MinValue) >= epochId) {
+      staged.foreach { case (_, rel) =>
+        Files.deleteIfExists(dir(table).resolve(rel))
+      }
+      sweepStaging() // a replayed epoch's staging leftovers are all garbage
+      return
+    }
+    rollbackTo(table, cur) // sweep a crashed attempt's promoted-but-uncommitted files
+    val (schemaJson, spec) = manifestMeta(table)
+    staged.foreach { case (b, rel) =>
+      val src = dir(table).resolve(rel)
+      val dst = dir(table).resolve("data").resolve(s"$PartCol=$b")
+        .resolve(src.getFileName.toString)
+      Files.createDirectories(dst.getParent)
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
+      .getOrElse(staged.map(_._1).distinct.sorted)
+    commit(table, cur + 1, schemaJson, parts, 0L, bucketKey = spec,
+      epochUpdate = Map(queryId -> epochId))
+    // The epoch is committed: this query's staging area is dead weight
+    // (earlier epochs' leftovers included — micro-batches are serial).
+    sweepStaging()
+  }
 
   /** The `"files":[...]` list of a manifest that MUST be intact: rollback
     * and time travel delete/pin files based on it, so a torn manifest here

@@ -64,7 +64,8 @@ final class GraftTable(ident: String, path: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def partitioning(): Array[Transform] = bucketSpec match {
     case Some((key, n)) => Array(Expressions.bucket(n, key))
@@ -79,7 +80,7 @@ final class GraftTable(ident: String, path: String)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(path, bucketSpec)
+    new GraftWriteBuilder(path, bucketSpec, info)
 }
 
 /** `part` exposed Iceberg-style as a metadata column: selectable and
@@ -100,11 +101,17 @@ object GraftPartMetadataColumn extends MetadataColumn {
   * commits a new snapshot — catalog writes and the bespoke pipeline sinks
   * share one commit protocol. `truncate()` (INSERT OVERWRITE /
   * `.overwrite(lit(true))`) re-creates the table content in place.
+  * `toStreaming` serves `writeStream.toTable` — see [[GraftStreamingWrite]].
   */
-final class GraftWriteBuilder(path: String, bucketSpec: Option[(String, Int)])
+final class GraftWriteBuilder(path: String, bucketSpec: Option[(String, Int)],
+                              info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
 
   private var replace = false
+
+  private def spec: (String, Int) =
+    bucketSpec.getOrElse(throw new graft.BucketSpecMismatch(
+      path, "a committed bucket spec", "none — table has no bucket metadata"))
 
   override def truncate(): WriteBuilder = { replace = true; this }
 
@@ -112,13 +119,20 @@ final class GraftWriteBuilder(path: String, bucketSpec: Option[(String, Int)])
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-          val (key, n) = bucketSpec.getOrElse(throw new graft.BucketSpecMismatch(
-            path, "a committed bucket spec", "none — table has no bucket metadata"))
+          val (key, n) = spec
           val mode =
             if (replace || overwrite) SaveMode.Overwrite else SaveMode.Append
           IcebergishTable.write(data, path, key, n, mode)
         }
       }
+
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (replace) throw new UnsupportedOperationException(
+        "streaming truncate (Complete mode) is not supported — use Append")
+      val (key, n) = spec
+      new GraftStreamingWrite(path, key, n, info.queryId(), info.schema())
+    }
   }
 }
 

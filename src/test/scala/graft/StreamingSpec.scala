@@ -139,6 +139,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("writeStream.toTable: native DSv2 streaming sink appends exactly-once") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.io.IcebergishTable
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-ssw").toString
+    val table = s"$base/sink"
+    val saved = Seq("spark.sql.catalog.graft_w", "spark.sql.catalog.graft_w.warehouse")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.catalog.graft_w",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_w.warehouse", base)
+    try {
+      IcebergishTable.createEmpty(table,
+        Seq(Triple("A", "p", "B", "u", 1.0)).toDF.schema, "subj", 4)
+
+      val input = MemoryStream[Triple]
+      val q = input.toDF.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .toTable("graft_w.sink")
+      try {
+        input.addData(Triple("A", "p", "B", "u1", 1.0),
+          Triple("C", "p", "D", "u2", 1.0))
+        q.processAllAvailable()
+        input.addData(Triple("E", "p", "F", "u3", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // All three rows, once each — readable via the bespoke reader AND the
+      // catalog, with the bucket layout intact (storage-partitioned reads).
+      val got = IcebergishTable.read(spark, table)
+        .select("subj").as[String].collect().toSeq.sorted
+      assert(got == Seq("A", "C", "E"), s"got $got")
+      assert(spark.table("graft_w.sink").count() == 3)
+      val hubPart = Seq(("A", 1)).toDF("k", "v")
+        .select(IcebergishTable.partExpr("k", 4)).head().getInt(0)
+      assert(Files.exists(java.nio.file.Paths.get(
+        s"$table/data/part=$hubPart")), "bucket dirs not created")
+
+      // Exactly-once: the manifest recorded the query's epoch high-water;
+      // a replayed (older) epoch discards its staged files and commits
+      // nothing.
+      val epochs = IcebergishTable.manifestEpochs(table)
+      assert(epochs.size == 1 && epochs.head._2 >= 1, s"epochs $epochs")
+      val qid = epochs.head._1
+      val snapBefore = IcebergishTable.currentSnapshot(table)
+      val staged = java.nio.file.Paths.get(
+        s"$table/data/_staging/q-$qid/epoch-0/b0-p0-t99.parquet")
+      Files.createDirectories(staged.getParent)
+      Files.write(staged, Array[Byte](1, 2, 3))
+      IcebergishTable.streamCommit(table,
+        Seq((0, s"data/_staging/q-$qid/epoch-0/b0-p0-t99.parquet")), qid, 0L)
+      assert(!Files.exists(staged), "replayed epoch's staged file not discarded")
+      assert(IcebergishTable.currentSnapshot(table) == snapBefore,
+        "replayed epoch committed a snapshot")
+      assert(IcebergishTable.read(spark, table).count() == 3)
+
+      // Staging tree is swept after commits — no hidden-file accumulation.
+      val stagingRoot = java.nio.file.Paths.get(s"$table/data/_staging/q-$qid")
+      assert(!Files.exists(stagingRoot) ||
+        !Files.list(stagingRoot).iterator().hasNext)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("session_window batch operator groups by inactivity gap") {
     import spark.implicits._
     val events = Seq(
