@@ -131,7 +131,8 @@ object Bench {
     * session churn cannot pollute a level's timing.
     */
   private def timedBuildIsolated(cpus: Int, pagesWork: String, nPages: Long,
-                                 runTag: String): (Double, Long, Double, Double) = {
+                                 runTag: String, reps: Int = 1)
+      : (Double, Long, Double, Double) = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -139,7 +140,7 @@ object Bench {
     val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "--measure", cpus.toString, pagesWork,
-      nPages.toString, runTag, "1")).asJava
+      nPages.toString, runTag, reps.toString)).asJava
     val pb = new ProcessBuilder(cmd)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -149,6 +150,9 @@ object Bench {
     val code = p.waitFor()
     out.linesIterator.find(_.startsWith("MEASURE ")) match {
       case Some(line) =>
+        // Forensics: each level's raw measurement, storm-visible (a deopt
+        // storm shows as cpu_sec far above the level's healthy total).
+        System.err.println(s"[bench] $runTag cpus=$cpus $line")
         val parts = line.split(' ')
         (parts(1).toDouble, parts(2).toLong,
           if (parts.length > 3) parts(3).toDouble else 0.0,
@@ -213,7 +217,12 @@ object Bench {
     // samples raise the odds that every level catches a quiet window.
     val rounds = (1 to 3).map { r =>
       levels.filter(c => r <= 2 || c != cpusHi).map(c =>
-        c -> timedBuildIsolated(c, pagesWork, nPages, s"r$r-c$c")).toMap
+        // Full width is cheap (~15 s/rep): min-of-2 INSIDE the child armors
+        // the headline against single-rep deopt storms (uniform ~4-10x cpu
+        // inflation a fresh JVM occasionally hits — min-of-reps measures
+        // the plan, not the storm).
+        c -> timedBuildIsolated(c, pagesWork, nPages, s"r$r-c$c",
+          reps = if (c == cpusHi) 2 else 1)).toMap
     }
     // Global best control = the quietest window any measurement saw; each
     // measurement is deflated by its own window's slowdown vs that best.

@@ -394,6 +394,51 @@ object SparkEntry {
         case (k, None) => s.conf.unset(k)
       }
     }),
+    "kg_streamwrite" -> ((s, dir) => {
+      // Native DSv2 STREAMING write path, oracle-verified end-to-end: the
+      // events table streams through writeStream.toTable (AvailableNow,
+      // exactly-once epoch commits) into a bucketed catalog table; a batch
+      // aggregate over the table's committed state must match DuckDB
+      // aggregating the same source parquet — any row lost, duplicated, or
+      // misbucketed by the streaming sink breaks the hash compare.
+      val base = java.nio.file.Files.createTempDirectory("graft-sw").toString
+      val touched = Seq("spark.sql.catalog.graft_sw",
+        "spark.sql.catalog.graft_sw.warehouse")
+      val saved = touched.map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.catalog.graft_sw",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_sw.warehouse", base)
+      try {
+        val eventsPath = s"$dir/events.parquet"
+        val schema = s.read.parquet(eventsPath).schema
+        val p = java.nio.file.Paths.get(eventsPath)
+        val reader = s.readStream.schema(schema)
+        val src =
+          if (java.nio.file.Files.isRegularFile(p))
+            reader.option("pathGlobFilter", p.getFileName.toString)
+              .parquet(p.getParent.toString)
+          else reader.parquet(eventsPath)
+        val cols = src.select(col("event_type"), col("value"), col("user_id"))
+        graft.io.IcebergishTable.createEmpty(s"$base/events_sink",
+          cols.schema, "event_type", 4)
+        val q = cols.writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft_sw.events_sink")
+        q.awaitTermination()
+        s.table("graft_sw.events_sink")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("total_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+          .localCheckpoint() // eager: executes before the conf restore
+      } finally saved.foreach {
+        case (k, Some(prev)) => s.conf.set(k, prev)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
     "kg_checkpoint" -> ((s, _) => {
       // Run a small checkpointed build and return its lineage table.
       import s.implicits._
@@ -446,6 +491,13 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT 'ctas', 'k' || CAST(i % 37 AS VARCHAR), count(*), " +
         "CAST(sum(i) AS BIGINT) FROM range(1000) t(i) GROUP BY 2"),
+    "kg_streamwrite" ->
+      // The streaming sink must deliver exactly the source table's rows:
+      // DuckDB recomputes the aggregate straight from the parquet the
+      // stream consumed.
+      ("SELECT event_type, count(*) AS n_events, " +
+        "round(sum(value), 2) AS total_value, " +
+        "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"),
     "q_skew_salted" -> skewOracle,
     "q_skew_plain" -> skewOracle,
     "s1_scan_project" ->
