@@ -217,12 +217,14 @@ object Bench {
     // samples raise the odds that every level catches a quiet window.
     val rounds = (1 to 3).map { r =>
       levels.filter(c => r <= 2 || c != cpusHi).map(c =>
-        // Full width is cheap (~15 s/rep): min-of-2 INSIDE the child armors
-        // the headline against single-rep deopt storms (uniform ~4-10x cpu
-        // inflation a fresh JVM occasionally hits — min-of-reps measures
-        // the plan, not the storm).
+        // min-of-2 INSIDE every child: a fresh JVM's first full build
+        // frequently hits a deopt storm (uniform 2-8x cpu inflation —
+        // measured 71.8 s vs 31.0 s at the same 8-thread level across
+        // rounds with flat controls); min-of-reps measures the plan, not
+        // the storm, and the storm is invisible to the single-thread
+        // control so calibration alone cannot remove it.
         c -> timedBuildIsolated(c, pagesWork, nPages, s"r$r-c$c",
-          reps = if (c == cpusHi) 2 else 1)).toMap
+          reps = 2)).toMap
     }
     // Global best control = the quietest window any measurement saw; each
     // measurement is deflated by its own window's slowdown vs that best.

@@ -43,8 +43,11 @@ final case class PipelineConfig(
     // sentences whose subject is entity 0. 0 = historical corpus.
     hubShare: Double = 0.0,
     // Write-side skew salting: split each output bucket over this many
-    // shuffle sub-keys (see GraphOut.bucketedDedupPlan). 1 = one file per
-    // bucket; raise when a hub subject concentrates a bucket.
+    // shuffle sub-keys (see GraphOut.bucketedDedupPlanAlignedSalted).
+    // 1 = one file per bucket; raise when a hub subject concentrates a
+    // bucket; 0 = AUTO — estimate the hottest subject's share from a small
+    // page sample and size the salt so the hub bucket's slices weigh about
+    // as much as an average bucket (see Pipeline.autoSalt).
     writeSalt: Int = 1
 )
 
@@ -71,7 +74,38 @@ object Pipeline {
     if (cfg.outputBuckets <= 0) bad(s"outputBuckets must be positive: ${cfg.outputBuckets}")
     if (cfg.sentMin < 1 || cfg.sentSpread < 1)
       bad(s"sentence grammar needs sentMin>=1, sentSpread>=1: ${cfg.sentMin}/${cfg.sentSpread}")
+    if (cfg.writeSalt < 0) bad(s"writeSalt must be >= 0 (0 = auto): ${cfg.writeSalt}")
     if (cfg.workDir.isEmpty || cfg.runId.isEmpty) bad("workDir and runId are required")
+  }
+
+  /** AUTO write-salt (cfg.writeSalt == 0): a planner hint, not an exact
+    * statistic. Extract triples from a small page-prefix sample, take the
+    * hottest subject's share s of sampled triples, and size the salt so the
+    * hub's bucket splits into slices that each weigh about an average
+    * bucket: the hub bucket holds ≈ s + (1-s)/n of all rows vs 1/n average,
+    * so slices needed ≈ s·n (+1). Clamped to [1, 8] — salt costs up-to-salt
+    * files per bucket and ~10% map-side hashing, so an unskewed corpus must
+    * come out at 1 (it does: s ≈ 1/dictionary-size ⇒ s·n < 1). A prefix
+    * sample under-detects hubs confined to late partitions; the clamp and
+    * the downstream dedup's correctness-under-any-salt make that safe.
+    */
+  private[graft] def autoSalt(pages: Dataset[Page],
+                              aliasDict: Seq[Alias],
+                              phrases: Map[String, String],
+                              canon: Map[String, String],
+                              numParts: Int,
+                              samplePages: Int = 1000): Int = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val sample = TripleExtract
+      .extractDirect(pages.limit(samplePages), aliasDict, phrases, canon)
+      .groupBy(col("subj")).agg(cnt(lit(1)).as("n"))
+      .agg(max(col("n")).as("hub"), sum(col("n")).as("total"))
+      .head()
+    if (sample.isNullAt(0) || sample.getLong(1) == 0L) 1
+    else {
+      val s = sample.getLong(0).toDouble / sample.getLong(1)
+      math.max(1, math.min(8, math.ceil(s * numParts).toInt))
+    }
   }
 
   /** Stage 0: synthesize the input table and materialize it Iceberg-style.
@@ -165,21 +199,28 @@ object Pipeline {
     val ckpt = s"${cfg.workDir}/checkpoint"
     val edgesTable = s"${cfg.workDir}/edges"
     val inputTag = s"snap-${IcebergishTable.currentSnapshot(table)}"
+    val canonMap: Map[String, String] =
+      if (fitsDriver)
+        canonDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      else Map.empty
     val rawTriples =
-      if (fitsDriver) {
-        val canon = canonDf.collect()
-          .map(r => r.getString(0) -> r.getString(1)).toMap
-        TripleExtract.extractDirect(pages, aliasDict, phrases, canon)
-      } else
+      if (fitsDriver)
+        TripleExtract.extractDirect(pages, aliasDict, phrases, canonMap)
+      else
         // No dedup here: the bucketed writer dedups in its own shuffle.
         TripleExtract.canonicalize(
           TripleExtract.extractDirect(pages, aliasDict, phrases),
           canonDf, assumeSmall = false, dedup = false)
+    val salt =
+      if (cfg.writeSalt == 0)
+        timed("auto salt")(autoSalt(pages, aliasDict, phrases, canonMap,
+          cfg.outputBuckets))
+      else cfg.writeSalt
     val edgeStats = timed("scan+dedup+write edges") {
       GraphOut.writeBucketedDedup(
         rawTriples.toDF, edgesTable, "subj", cfg.outputBuckets,
         Seq("subj", "pred", "obj", "url"), ckpt, cfg.runId, "edges",
-        inputTag = inputTag, skewSalt = cfg.writeSalt)
+        inputTag = inputTag, skewSalt = salt)
     }
 
     // Vertices derive from the written (compressed, pruned) edge table via

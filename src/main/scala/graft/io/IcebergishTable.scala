@@ -320,8 +320,23 @@ object IcebergishTable {
     * before promoting the retry (idempotent — a no-op when nothing is
     * orphaned). Single-writer per table, like Iceberg's commit protocol.
     */
+  /** One commit monitor per table path: two streaming queries writing the
+    * same table from one driver must serialize their promote+commit windows
+    * (the rollback sweep would otherwise reap the other query's
+    * just-promoted files). Cross-JVM writers remain single-writer by
+    * contract, like Iceberg's commit protocol.
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def streamCommit(table: String, staged: Seq[(Int, String)],
-                   queryId: String, epochId: Long): Unit = {
+                   queryId: String, epochId: Long): Unit =
+    commitLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      streamCommitLocked(table, staged, queryId, epochId)
+    }
+
+  private def streamCommitLocked(table: String, staged: Seq[(Int, String)],
+                                 queryId: String, epochId: Long): Unit = {
     val cur = currentSnapshot(table)
     if (cur < 0) throw new graft.TableNotFound(table)
     def sweepStaging(): Unit = {

@@ -142,4 +142,39 @@ class SkewPipelineSpec extends SparkSpec {
       assert(((h % m) + m) % m == s)
     }
   }
+
+  test("writeSalt=0 AUTO sizes the salt from the sampled hub share") {
+    val dict = PageSynth.aliasDictionary
+    val phrases = PageSynth.relations.toMap
+    def pagesFor(hub: Double): org.apache.spark.sql.Dataset[Page] = {
+      val dir = tmpDir(s"graft-as-$hub")
+      val table = Pipeline.buildPagesTable(spark, PipelineConfig(seed = 13L,
+        nPages = 400L, partitions = 4, outputBuckets = 8, workDir = dir,
+        runId = "as", hubShare = hub))
+      Pipeline.readPagesForExtraction(spark, table)
+    }
+    // Planted 50% hub: expected share ≈ 0.4-0.5 → salt ≈ ceil(s·8) ≥ 3.
+    val saltHub = Pipeline.autoSalt(pagesFor(0.5), dict, phrases, Map.empty, 8)
+    assert(saltHub >= 3 && saltHub <= 8, s"hub auto salt $saltHub")
+    // Historical (zipf) corpus: hottest entity ~17% → a smaller salt.
+    val saltZipf = Pipeline.autoSalt(pagesFor(0.0), dict, phrases, Map.empty, 8)
+    assert(saltZipf >= 1 && saltZipf < saltHub, s"zipf auto salt $saltZipf")
+
+    // End-to-end: writeSalt=0 through the real pipeline splits the hub
+    // bucket physically and still matches the unsalted edge table (the
+    // salt-invariance of results is proven in the salt=4 test above).
+    val dir = tmpDir("graft-auto-e2e")
+    Pipeline.build(spark, PipelineConfig(seed = 13L, nPages = 400L,
+      partitions = 4, outputBuckets = 8, workDir = dir, runId = "auto",
+      hubShare = 0.5, writeSalt = 0))
+    val hubPart = {
+      import spark.implicits._
+      Seq(PageSynth.entityId(0)).toDF("k")
+        .select(IcebergishTable.partExpr("k", 8)).head().getInt(0)
+    }
+    val d = java.nio.file.Paths.get(s"$dir/edges/data/part=$hubPart")
+    val s = java.nio.file.Files.list(d)
+    val n = try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
+    assert(n > 1, s"auto salt did not split the hub bucket ($n files)")
+  }
 }
