@@ -201,7 +201,27 @@ class StreamingSpec extends SparkSpec {
       val stagingRoot = java.nio.file.Paths.get(s"$table/data/_staging/q-$qid")
       assert(!Files.exists(stagingRoot) ||
         !Files.list(stagingRoot).iterator().hasNext)
-    } finally {
+
+      // Restart the query from the SAME checkpoint: the new run must pick
+      // up where the old one stopped — no duplicated batches, and new data
+      // arrives exactly once through the restarted sink. (MemoryStream is
+      // not durable, so the replacement stream re-contains the committed
+      // batches — the restarted query must skip them, not re-append.)
+      val input2 = MemoryStream[Triple]
+      input2.addData(Triple("A", "p", "B", "u1", 1.0),
+        Triple("C", "p", "D", "u2", 1.0))
+      input2.addData(Triple("E", "p", "F", "u3", 1.0))
+      val q2 = input2.toDF.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .toTable("graft_w.sink")
+      try {
+        input2.addData(Triple("G", "p", "H", "u4", 1.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val after = IcebergishTable.read(spark, table)
+        .select("subj").as[String].collect().toSeq.sorted
+      assert(after == Seq("A", "C", "E", "G"), s"after restart: $after")
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
