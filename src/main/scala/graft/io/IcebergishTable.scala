@@ -109,8 +109,14 @@ object IcebergishTable {
     Files.createDirectories(d)
     // Snapshot manifest records the exact file list — Iceberg-style
     // time travel: readSnapshot(n) sees precisely snapshot n's files.
-    val files = listDataFiles(table)
+    val fileList = listDataFiles(table)
+    val files = fileList
       .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    // File sizes ride the manifest (index-aligned with "files"): scan
+    // planning then needs ZERO filesystem calls — Iceberg's metadata-only
+    // planning. One stat per file here, at write time, where the files are
+    // page-cache-hot anyway.
+    val sizes = fileList.map(f => Files.size(d.resolve(f)))
     // bucket_key/buckets record the partition spec (hash-bucket transform):
     // the DSv2 catalog reports it to Catalyst so bucket-key joins between
     // co-bucketed tables plan storage-partitioned (zero Exchange).
@@ -129,6 +135,7 @@ object IcebergishTable {
         .mkString("\"epochs\":{", ",", "},")
     val manifest =
       s"""{"snapshot":$snapshot,"rows":$rows,$bucketMeta$epochMeta"partitions":[${parts.sorted.mkString(",")}],
+         |"sizes":[${sizes.mkString(",")}],
          |"files":[${files.mkString(",")}],
          |"schema":$schemaJson}""".stripMargin.replace("\n", "")
     Files.write(d.resolve(s"snap-$snapshot.json"),
@@ -568,6 +575,24 @@ object IcebergishTable {
     writeTombstones(table, stillNeeded)
     (0 until keepFrom).foreach { s =>
       Files.deleteIfExists(dir(table).resolve(s"snap-$s.json"))
+    }
+  }
+
+  /** (relative path, size) pairs from a snapshot's manifest, when it
+    * carries the index-aligned "sizes" array (tables committed before the
+    * feature return None → callers fall back to directory stat). Enables
+    * metadata-only scan planning: zero filesystem calls on the plan path.
+    */
+  def snapshotFilesWithSizes(table: String,
+                             snapshot: Int): Option[Seq[(String, Long)]] = {
+    val m = dir(table).resolve(s"snap-$snapshot.json")
+    if (!Files.exists(m)) return None
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    """"sizes":\[([0-9,\s]*)\]""".r.findFirstMatchIn(json).flatMap { g =>
+      val sizes = g.group(1).split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      val files = manifestFilesStrict(table, snapshot, json)
+      if (files.length == sizes.length) Some(files.zip(sizes)) else None
     }
   }
 

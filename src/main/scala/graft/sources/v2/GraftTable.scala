@@ -234,12 +234,50 @@ final class GraftScan(path: String, dataSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
+  /** Bucket index from a manifest-relative path (`data/part=<k>/…`). */
+  private def bucketOfPath(rel: String): Int =
+    rel.split('/').find(_.startsWith(IcebergishTable.PartCol + "="))
+      .map(_.stripPrefix(IcebergishTable.PartCol + "=").toInt).getOrElse(0)
+
   private def planPartitions(): Array[InputPartition] = {
+    val root = java.nio.file.Paths.get(path)
+    val snap = snapshot.getOrElse(IcebergishTable.currentSnapshot(path))
+    // METADATA-ONLY planning: the manifest records every live file WITH its
+    // size, so planning makes zero filesystem calls — at 10^5 buckets the
+    // old walk (one listing + one stat per file, driver-side) was the plan
+    // path's scale limit, exactly the problem Iceberg manifests solve.
+    // Commits derive the manifest from the live set, so current-state reads
+    // through the manifest equal the old directory view (minus any crashed
+    // writer's orphans, which the manifest correctly excludes).
+    IcebergishTable.snapshotFilesWithSizes(path, snap) match {
+      case Some(withSizes) =>
+        withSizes
+          .map { case (rel, size) => (bucketOfPath(rel), rel, size) }
+          .filter { case (b, _, _) => prunedBuckets.forall(_.contains(b)) }
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (b, files) =>
+            val partValues: InternalRow =
+              if (needsPart) new GenericInternalRow(Array[Any](b))
+              else InternalRow.empty
+            GraftBucketPartition(b, files.sortBy(_._2).map { case (_, rel, size) =>
+              PartitionedFile(partValues,
+                SparkPath.fromPathString(root.resolve(rel).toAbsolutePath.toString),
+                0L, size, Array.empty, 0L, size)
+            }.toArray): InputPartition
+          }
+          .toArray
+      case None =>
+        planPartitionsByWalk() // pre-"sizes" manifests: stat fallback
+    }
+  }
+
+  /** Directory-walk fallback for tables committed before manifests carried
+    * file sizes: lists bucket dirs and stats each live file (pinned reads
+    * keep their exact manifest file list; expired pins fail loudly).
+    */
+  private def planPartitionsByWalk(): Array[InputPartition] = {
     val dataDir = java.nio.file.Paths.get(path, "data")
     if (!java.nio.file.Files.isDirectory(dataDir)) return Array.empty
-    // Current reads see only LIVE files (compaction tombstones stay on
-    // disk for time travel but are not current state); a snapshot-pinned
-    // read sees exactly that manifest's file list.
     val root = java.nio.file.Paths.get(path)
     val live: Set[String] = snapshot match {
       case Some(s) =>
@@ -367,6 +405,11 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
       throw new graft.SnapshotNotFound(path, e) // expired under the stream
     val before: Set[String] =
       if (s < 0) Set.empty else IcebergishTable.snapshotFiles(path, s).toSet
+    // Manifest-recorded sizes (present on every current-format commit)
+    // make batch planning metadata-only; pre-"sizes" manifests stat.
+    val sizeOf: Map[String, Long] =
+      IcebergishTable.snapshotFilesWithSizes(path, e)
+        .map(_.toMap).getOrElse(Map.empty)
     val after = IcebergishTable.snapshotFiles(path, e)
     val root = java.nio.file.Paths.get(path)
     val added = after.filterNot(before)
@@ -383,13 +426,15 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
           else InternalRow.empty
         val files = rels.sorted.map { rel =>
           val f = root.resolve(rel)
+          // Unlike batch planning, keep the existence probe: a micro-batch
+          // reads few files, and "compacted/expired under the stream" must
+          // surface at plan time, not as a mid-task read failure.
           if (!java.nio.file.Files.exists(f))
-            throw new graft.SnapshotNotFound(path, e) // compacted/expired
-          val size = java.nio.file.Files.size(f)
+            throw new graft.SnapshotNotFound(path, e)
+          val size = sizeOf.getOrElse(rel, java.nio.file.Files.size(f))
           PartitionedFile(partValues,
             SparkPath.fromPathString(f.toAbsolutePath.toString),
-            0L, size, Array.empty,
-            java.nio.file.Files.getLastModifiedTime(f).toMillis, size)
+            0L, size, Array.empty, 0L, size)
         }.toArray
         GraftBucketPartition(b, files): InputPartition
       }

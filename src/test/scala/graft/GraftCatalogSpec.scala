@@ -210,6 +210,45 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!IcebergishTable.exists(s"$warehouse/ranks"))
   }
 
+  test("scan planning is metadata-only: manifest sizes, zero filesystem calls") {
+    val dir = Files.createTempDirectory("graft-meta-plan").toString
+    import spark.implicits._
+    val df = spark.range(0, 500)
+      .select(concat(lit("k"), col("id") % 20).as("k"), col("id").as("v"))
+    IcebergishTable.write(df, s"$dir/t", "k", 4)
+
+    // The manifest records one size per file, and they match the files.
+    val snap = IcebergishTable.currentSnapshot(s"$dir/t")
+    val withSizes = IcebergishTable.snapshotFilesWithSizes(s"$dir/t", snap)
+    assert(withSizes.isDefined, "manifest missing the sizes array")
+    withSizes.get.foreach { case (rel, size) =>
+      assert(Files.size(java.nio.file.Paths.get(s"$dir/t").resolve(rel)) == size,
+        s"manifest size wrong for $rel")
+    }
+
+    // Planning needs NO data directory at all: hide it, plan, restore.
+    val tbl = new graft.sources.v2.GraftTable("t", s"$dir/t")
+    val scan = tbl.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    val dataDir = java.nio.file.Paths.get(s"$dir/t/data")
+    val hidden = java.nio.file.Paths.get(s"$dir/t/data-moved")
+    Files.move(dataDir, hidden)
+    try {
+      val parts = scan.toBatch.planInputPartitions()
+      assert(parts.length == 4, s"planned ${parts.length} buckets")
+      val planned = parts.collect {
+        case p: graft.sources.v2.GraftBucketPartition => p.files.length
+      }.sum
+      assert(planned == withSizes.get.size, "planned file count != manifest")
+    } finally Files.move(hidden, dataDir)
+
+    // And the planned scan actually reads correctly.
+    val scan2 = tbl.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    assert(scan2.toBatch.planInputPartitions().nonEmpty)
+    assert(IcebergishTable.read(spark, s"$dir/t").count() == 500)
+  }
+
   test("typed errors at the table protocol surface: corrupt manifest, bucket-spec mismatch") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-typed").toString
