@@ -207,22 +207,20 @@ object Bench {
     // three levels are reported.
     val cpusN = math.max(1, cpusHi / 16) // 2 when cpusHi=32
     val cpus4N = cpusN * 4 // 8 when cpusHi=32
-    // Two INTERLEAVED rounds over the levels, min per level: the host's
+    // INTERLEAVED rounds over the levels, min per level: the host's
     // invisible contention fluctuates over minutes, so consecutive reps of
     // one level share a noise window — interleaving decorrelates the
     // level-to-level ratio from it.
     val levels = Seq(cpusN, cpus4N, cpusHi)
-    // Three interleaved rounds for the criterion pair, two for full width:
-    // the host's contention windows last minutes, so more interleaved
-    // samples raise the odds that every level catches a quiet window.
-    val rounds = (1 to 3).map { r =>
-      levels.filter(c => r <= 2 || c != cpusHi).map(c =>
-        // min-of-2 INSIDE every child: a fresh JVM's first full build
-        // frequently hits a deopt storm (uniform 2-8x cpu inflation —
-        // measured 71.8 s vs 31.0 s at the same 8-thread level across
-        // rounds with flat controls); min-of-reps measures the plan, not
-        // the storm, and the storm is invisible to the single-thread
-        // control so calibration alone cannot remove it.
+    // Two interleaved rounds × min-of-2 INSIDE every child: a fresh JVM's
+    // first full build frequently hits a deopt storm (uniform 2-8x cpu
+    // inflation — measured 71.8 s vs 31.0 s at the same 8-thread level
+    // across rounds with FLAT controls, so calibration alone cannot remove
+    // it); min-of-reps measures the plan, not the storm. Four samples per
+    // level, each the min of a warmed pair, beats the previous three cold
+    // singles at lower total wall.
+    val rounds = (1 to 2).map { r =>
+      levels.map(c =>
         c -> timedBuildIsolated(c, pagesWork, nPages, s"r$r-c$c",
           reps = 2)).toMap
     }

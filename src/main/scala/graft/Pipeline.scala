@@ -94,10 +94,21 @@ object Pipeline {
                               phrases: Map[String, String],
                               canon: Map[String, String],
                               numParts: Int,
-                              samplePages: Int = 1000): Int = {
+                              samplePages: Int = 1000,
+                              canonDf: Option[DataFrame] = None): Int = {
     import org.apache.spark.sql.functions.{count => cnt}
-    val sample = TripleExtract
+    val raw = TripleExtract
       .extractDirect(pages.limit(samplePages), aliasDict, phrases, canon)
+    // The bucket key downstream is the CANONICAL subject: when the sameAs
+    // graph is too big for a driver map (canon arrives as a DataFrame), the
+    // sample must canonicalize the same way, or a hub entity spread over k
+    // aliases samples as k small subjects and the salt underestimates by k
+    // — exactly in the large-corpus regime auto mode exists for.
+    val sample = (canonDf match {
+      case Some(df) =>
+        TripleExtract.canonicalize(raw, df, assumeSmall = false, dedup = false)
+      case None => raw
+    })
       .groupBy(col("subj")).agg(cnt(lit(1)).as("n"))
       .agg(max(col("n")).as("hub"), sum(col("n")).as("total"))
       .head()
@@ -214,7 +225,8 @@ object Pipeline {
     val salt =
       if (cfg.writeSalt == 0)
         timed("auto salt")(autoSalt(pages, aliasDict, phrases, canonMap,
-          cfg.outputBuckets))
+          cfg.outputBuckets,
+          canonDf = if (fitsDriver) None else Some(canonDf)))
       else cfg.writeSalt
     val edgeStats = timed("scan+dedup+write edges") {
       GraphOut.writeBucketedDedup(

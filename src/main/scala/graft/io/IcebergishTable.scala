@@ -114,9 +114,15 @@ object IcebergishTable {
       .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     // File sizes ride the manifest (index-aligned with "files"): scan
     // planning then needs ZERO filesystem calls — Iceberg's metadata-only
-    // planning. One stat per file here, at write time, where the files are
-    // page-cache-hot anyway.
-    val sizes = fileList.map(f => Files.size(d.resolve(f)))
+    // planning. Data files are immutable once written, so sizes carry
+    // forward from the previous manifest and only files NEW to this commit
+    // get statted — a streaming sink's per-epoch commit stays O(new files),
+    // not O(table history).
+    val prevSizes: Map[String, Long] =
+      snapshotFilesWithSizes(table, currentSnapshot(table))
+        .map(_.toMap).getOrElse(Map.empty)
+    val sizes = fileList.map(f =>
+      prevSizes.getOrElse(f, Files.size(d.resolve(f))))
     // bucket_key/buckets record the partition spec (hash-bucket transform):
     // the DSv2 catalog reports it to Catalyst so bucket-key joins between
     // co-bucketed tables plan storage-partitioned (zero Exchange).

@@ -212,7 +212,9 @@ object MediaCodecs {
     buf.putInt(2835); buf.putInt(2835); buf.putInt(0); buf.putInt(0)
     fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
     val offsets = frames.map { pixel =>
-      val off = buf.position() - (8 + 8 + hdrlSize + 8 + 4) // rel. to 'movi'+4
+      // idx1 offsets are movi-relative: distance from the 'movi' fourcc to
+      // this chunk's header (first chunk = 4, the standard convention).
+      val off = buf.position() - (8 + 8 + hdrlSize + 8 + 4)
       fourcc("00db"); buf.putInt(frameSize)
       var y = height - 1
       while (y >= 0) {
@@ -226,7 +228,7 @@ object MediaCodecs {
         while (pad > 0) { buf.put(0.toByte); pad -= 1 }
         y -= 1
       }
-      off + 4
+      off
     }
     fourcc("idx1"); buf.putInt(idx1Size)
     offsets.foreach { off =>
@@ -236,10 +238,16 @@ object MediaCodecs {
     buf.array()
   }
 
-  /** Decode an uncompressed-DIB AVI: full RIFF walk (hdrl → avih + strf for
-    * geometry/bpp, movi list for '00db'/'00dc' frame chunks — nested 'rec '
-    * lists included, as interleaved writers emit them). Returns top-down
-    * RGB frames. Compressed streams (strf.biCompression != 0) fail loudly.
+  /** Decode an uncompressed-DIB AVI: full RIFF walk (hdrl → avih + the
+    * VIDEO stream's strh/strf for geometry/bpp, movi list for that
+    * stream's '##db'/'##dc' frame chunks — nested 'rec ' lists included,
+    * as interleaved writers emit them). Stream-aware: strl blocks are
+    * numbered in hdrl order, frame chunks carry their stream number as a
+    * 2-digit prefix, and only the FIRST 'vids' stream's chunks are decoded
+    * — an AVI whose audio stream is listed first (common in the wild)
+    * decodes correctly instead of parsing WAVEFORMATEX bytes as geometry.
+    * Returns top-down RGB frames. Compressed video (biCompression != 0)
+    * fails loudly.
     */
   def decodeAvi(bytes: Array[Byte]): Avi = {
     require(bytes.length >= 12, s"truncated AVI: ${bytes.length} bytes")
@@ -249,6 +257,9 @@ object MediaCodecs {
       s"missing RIFF/AVI magic: ${fourcc(0)}/${fourcc(8)}")
     var width = -1; var height = -1; var fps = 30
     var bpp = -1; var compression = -1
+    var streamIdx = -1 // strl blocks seen so far - 1
+    var videoStream = -1 // index of the first 'vids' stream
+    var lastStreamIsVideo = false
     val frames = Vector.newBuilder[Bmp]
     def decodeFrame(off: Int, size: Int): Bmp = {
       val stride = rowStride(width)
@@ -284,8 +295,12 @@ object MediaCodecs {
             require(size >= 40, s"avih too small: $size")
             val usPerFrame = buf.getInt(o + 8)
             if (usPerFrame > 0) fps = math.max(1, 1000000 / usPerFrame)
-          case "strf" if width < 0 =>
-            require(size >= 40, s"strf too small: $size")
+          case "strh" =>
+            streamIdx += 1
+            lastStreamIsVideo = size >= 4 && fourcc(o + 8) == "vids"
+            if (lastStreamIsVideo && videoStream < 0) videoStream = streamIdx
+          case "strf" if lastStreamIsVideo && width < 0 =>
+            require(size >= 40, s"video strf too small: $size")
             width = buf.getInt(o + 12)
             height = math.abs(buf.getInt(o + 16))
             bpp = buf.getShort(o + 22)
@@ -293,10 +308,12 @@ object MediaCodecs {
             require(bpp == 24, s"unsupported bpp $bpp (only 24-bit DIB)")
             require(compression == 0,
               s"unsupported compression $compression (only BI_RGB)")
-          case c if c.length == 4 && (c.endsWith("db") || c.endsWith("dc")) =>
-            require(width > 0, s"frame chunk $c before strf header")
+          case c if c.length == 4 && (c.endsWith("db") || c.endsWith("dc")) &&
+              c.take(2).forall(_.isDigit) &&
+              c.take(2).toInt == videoStream =>
+            require(width > 0, s"frame chunk $c before the video strf header")
             frames += decodeFrame(o + 8, size)
-          case _ => // skip (strh, idx1, JUNK, …)
+          case _ => // skip (audio strf/chunks, other streams, idx1, JUNK, …)
         }
         o += 8 + size + (size & 1) // word alignment
       }

@@ -153,6 +153,8 @@ object Multimodal {
     * axis only video has.
     */
   private[graft] def videoFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    require(dim >= 5,
+      s"videoFeatures needs dim >= 5 (4 spatial stats + motion energy): $dim")
     val avi = MediaCodecs.decodeAvi(payload)
     val out = new Array[Float](dim)
     val nPix = avi.width * avi.height

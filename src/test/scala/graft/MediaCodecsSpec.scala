@@ -132,6 +132,73 @@ class MediaCodecsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { MediaCodecs.decodeAvi(compressed) }
   }
 
+  test("AVI idx1 index uses standard movi-relative offsets (first chunk = 4)") {
+    val bytes = MediaCodecs.encodeAvi(3, 2, 25,
+      Seq.fill(3)((_: Int, _: Int) => (1, 2, 3)))
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val idxPos = (0 until bytes.length - 4)
+      .find(i => new String(bytes, i, 4, "US-ASCII") == "idx1").get
+    val frameSize = 12 * 2 // rowStride(3)=12, height 2
+    for (f <- 0 until 3) {
+      val entry = idxPos + 8 + 16 * f
+      assert(new String(bytes, entry, 4, "US-ASCII") == "00db")
+      val off = buf.getInt(entry + 8)
+      assert(off == 4 + f * (8 + frameSize),
+        s"idx1 entry $f offset $off (expected ${4 + f * (8 + frameSize)})")
+    }
+  }
+
+  test("AVI decoder is stream-aware: audio-listed-first files decode the video stream") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val base = MediaCodecs.encodeAvi(3, 2, 25,
+      Seq.fill(2)((_: Int, _: Int) => (1, 2, 3)))
+    def find(b: Array[Byte], s: String, from: Int = 0): Int =
+      (from until b.length - 4)
+        .find(i => new String(b, i, 4, "US-ASCII") == s).get
+    // Audio strl block (LIST(strl, strh(auds), strf(WAVEFORMATEX))) spliced
+    // BEFORE the video strl — the layout real muxers commonly emit.
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def wi(v: Int): Unit = out.write(
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+    w("strl")
+    w("strh"); wi(56); w("auds"); out.write(new Array[Byte](52))
+    w("strf"); wi(16)
+    // wFormatTag=1, channels=1, rate=8000, byteRate=16000, align=2, bits=16
+    out.write(ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16).array())
+    val strlBytes = out.toByteArray
+    val audioStrl = "LIST".getBytes("US-ASCII") ++
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(strlBytes.length).array() ++ strlBytes
+
+    val videoStrlPos = find(base, "strl") - 8 // its LIST header
+    var spliced = base.take(videoStrlPos) ++ audioStrl ++ base.drop(videoStrlPos)
+    // Audio chunk '00wb' at the head of movi (audio is now stream 0).
+    val moviPos = find(spliced, "movi")
+    val audioChunk = "00wb".getBytes("US-ASCII") ++
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(4).array() ++
+      new Array[Byte](4)
+    spliced = spliced.take(moviPos + 4) ++ audioChunk ++ spliced.drop(moviPos + 4)
+    // Video is stream 1 now: rename its frame chunks 00db → 01db (solid
+    // (1,2,3) pixels cannot contain the ASCII pattern).
+    for (i <- 0 until spliced.length - 4)
+      if (new String(spliced, i, 4, "US-ASCII") == "00db") spliced(i + 1) = '1'
+    // Patch sizes: RIFF total, hdrl LIST, movi LIST.
+    val bb = ByteBuffer.wrap(spliced).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + audioStrl.length + audioChunk.length)
+    bb.putInt(16, bb.getInt(16) + audioStrl.length)
+    val moviPos2 = find(spliced, "movi")
+    bb.putInt(moviPos2 - 4, bb.getInt(moviPos2 - 4) + audioChunk.length)
+
+    val avi = MediaCodecs.decodeAvi(spliced)
+    assert(avi.width == 3 && avi.height == 2 && avi.frames.size == 2,
+      s"${avi.width}x${avi.height}×${avi.frames.size}")
+    for (f <- 0 until 2; y <- 0 until 2; x <- 0 until 3)
+      assert(avi.frames(f).pixel(x, y) == ((1, 2, 3)))
+  }
+
   test("video features come from real decoded frames (exact motion energy)") {
     // Frame 0 solid black, frame 1 solid white, frame 2 black again:
     // mean luma = 1/3 of white's, motion energy = |Δluma| = 1.0 across both

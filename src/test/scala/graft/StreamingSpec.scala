@@ -222,6 +222,9 @@ class StreamingSpec extends SparkSpec {
       val after = IcebergishTable.read(spark, table)
         .select("subj").as[String].collect().toSeq.sorted
       assert(after == Seq("A", "C", "E", "G"), s"after restart: $after")
+    } finally {
+      // finally, not tail-of-try: a failed assert must not leak the
+      // graft_w catalog registration into the shared session.
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
