@@ -394,6 +394,30 @@ object SparkEntry {
         case (k, None) => s.conf.unset(k)
       }
     }),
+    "kg_compact" -> ((s, _) => {
+      // Table-maintenance round trip, oracle-verified: three bucketed
+      // appends (3 file sets per bucket), then compact (tombstone the
+      // inputs, rewrite one file set per bucket) and expire the old
+      // snapshots (physically reclaim). DuckDB recomputes the aggregate
+      // from range() — any row lost or duplicated by the rewrite or by
+      // tombstone/expiry bookkeeping breaks the hash compare.
+      val dir = java.nio.file.Files.createTempDirectory("graft-cp").toString
+      val t = s"$dir/t"
+      def slice(a: Long, b: Long): DataFrame = s.range(a, b)
+        .select(concat(lit("k"), col("id") % 37).as("k"), col("id").as("v"))
+      graft.io.IcebergishTable.write(slice(0, 600), t, "k", 4)
+      graft.io.IcebergishTable.write(slice(600, 900), t, "k", 4,
+        org.apache.spark.sql.SaveMode.Append)
+      graft.io.IcebergishTable.write(slice(900, 1200), t, "k", 4,
+        org.apache.spark.sql.SaveMode.Append)
+      graft.io.IcebergishTable.compact(s, t, 4, "k")
+      graft.io.IcebergishTable.expireSnapshots(t, keepLast = 1)
+      graft.io.IcebergishTable.read(s, t)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy(col("k"))
+        .localCheckpoint()
+    }),
     "kg_streamwrite" -> ((s, dir) => {
       // Native DSv2 STREAMING write path, oracle-verified end-to-end: the
       // events table streams through writeStream.toTable (AvailableNow,
@@ -491,6 +515,10 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT 'ctas', 'k' || CAST(i % 37 AS VARCHAR), count(*), " +
         "CAST(sum(i) AS BIGINT) FROM range(1000) t(i) GROUP BY 2"),
+    "kg_compact" ->
+      // Compaction + expiry must preserve exactly the appended rows.
+      ("SELECT 'k' || CAST(i % 37 AS VARCHAR) AS k, count(*) AS n, " +
+        "CAST(sum(i) AS BIGINT) AS sum_v FROM range(1200) t(i) GROUP BY 1"),
     "kg_streamwrite" ->
       // The streaming sink must deliver exactly the source table's rows:
       // DuckDB recomputes the aggregate straight from the parquet the
