@@ -289,6 +289,13 @@ object Pipeline {
     GraphOut.writeWithCheckpoint(
       verts, s"${cfg.workDir}/vertices", "id", cfg.outputBuckets,
       ckpt, cfg.runId, "vertices", groupSize = 8)
+    // Same atomic cross-table publish as build(): without it the
+    // edges-then-vertices torn window stays open on this entry point and
+    // RootCommit.readConsistent cannot serve run()-produced workDirs.
+    graft.io.RootCommit.commit(cfg.workDir, Map(
+      "pages" -> IcebergishTable.currentSnapshot(table),
+      "edges" -> IcebergishTable.currentSnapshot(s"${cfg.workDir}/edges"),
+      "vertices" -> IcebergishTable.currentSnapshot(s"${cfg.workDir}/vertices")))
 
     PipelineStats(
       pages = spark.read.parquet(s"$table/data").count(),

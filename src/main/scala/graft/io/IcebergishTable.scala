@@ -30,6 +30,12 @@ object IcebergishTable {
 
   val PartCol = "part"
 
+  /** Identifier of the bucket hash function used for file placement —
+    * recorded in every manifest and verified on append (a layout version,
+    * like Iceberg's partition-spec id).
+    */
+  val BucketFn = "murmur3-pmod"
+
   /** Bucket of a key: pmod(murmur3(key), n) — DELIBERATELY the exact hash
     * Spark's own HashPartitioning uses (`hash()` = Murmur3, seed 42), so
     * `df.repartition(n, col(key))` aligns shuffle partitions 1:1 with
@@ -126,8 +132,13 @@ object IcebergishTable {
     // bucket_key/buckets record the partition spec (hash-bucket transform):
     // the DSv2 catalog reports it to Catalyst so bucket-key joins between
     // co-bucketed tables plan storage-partitioned (zero Exchange).
+    // bucket_fn versions the HASH FUNCTION itself: appends onto a table
+    // whose files were placed by a different function would silently mix
+    // two incompatible layouts (same key in two buckets → dedup misses,
+    // SPJ co-partitioning lies) — see requireSpecMatch.
     val bucketMeta = bucketKey
-      .map { case (k, n) => s""""bucket_key":"${esc(k)}","buckets":$n,""" }
+      .map { case (k, n) =>
+        s""""bucket_key":"${esc(k)}","buckets":$n,"bucket_fn":"$BucketFn",""" }
       .getOrElse("")
     // Streaming epoch high-waters ride the manifest (carried forward on
     // EVERY commit): the VERSION swap is then the single atomic point that
@@ -160,11 +171,31 @@ object IcebergishTable {
     */
   private def requireSpecMatch(table: String, keyCol: String,
                                numParts: Int): Unit =
-    if (exists(table)) manifestMeta(table)._2.foreach { case (k, n) =>
-      if (k != keyCol || n != numParts)
-        throw new graft.BucketSpecMismatch(table, s"($k, $n)",
-          s"($keyCol, $numParts)")
+    if (exists(table)) {
+      manifestMeta(table)._2.foreach { case (k, n) =>
+        if (k != keyCol || n != numParts)
+          throw new graft.BucketSpecMismatch(table, s"($k, $n)",
+            s"($keyCol, $numParts)")
+        // Hash-function version gate: a bucketed table committed without
+        // bucket_fn (or with a different one) was laid out by an older
+        // hash — appending this writer's placement would mix layouts.
+        val fn = bucketFnOf(table)
+        if (!fn.contains(BucketFn))
+          throw new graft.BucketSpecMismatch(table,
+            s"bucket_fn=$BucketFn",
+            s"bucket_fn=${fn.getOrElse("<absent — pre-versioned layout; rewrite the table>")}")
+      }
     }
+
+  /** Bucket hash-function id recorded in the current manifest, if any. */
+  def bucketFnOf(table: String): Option[String] = {
+    val snap = currentSnapshot(table)
+    if (snap < 0) return None
+    val m = dir(table).resolve(s"snap-$snap.json")
+    if (!Files.exists(m)) return None
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    """"bucket_fn":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+  }
 
   /** Write `df` hash-bucketed on `keyCol` into `numParts` partitions,
     * creating a new snapshot. `mode` Overwrite replaces the whole table
@@ -175,7 +206,6 @@ object IcebergishTable {
   def write(df: DataFrame, table: String, keyCol: String, numParts: Int,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
     if (mode == SaveMode.Append) requireSpecMatch(table, keyCol, numParts)
-    else writeTombstones(table, Set.empty)
     // Repartition on the bucket column first: without it every input
     // partition writes a file into every bucket directory (numParts ×
     // inputParts tiny files — measured 7× slower at 2.8M rows).
@@ -185,6 +215,19 @@ object IcebergishTable {
       .mode(mode)
       .partitionBy(PartCol)
       .parquet(dir(table).resolve("data").toString)
+    if (mode != SaveMode.Append) {
+      // Overwrite is a re-create: clear the tombstone ledger only AFTER
+      // the write succeeded (clearing first would resurrect compacted-away
+      // duplicates into directory-derived reads if the job failed), and
+      // drop the old snapshot manifests — their data files are gone, so a
+      // later pinned read must fail loudly (SnapshotNotFound), not return
+      // silently-empty results.
+      writeTombstones(table, Set.empty)
+      val cur = currentSnapshot(table)
+      (0 to cur).foreach { sOld =>
+        Files.deleteIfExists(dir(table).resolve(s"snap-$sOld.json"))
+      }
+    }
     val rows = 0L // row count recorded by the checkpoint layer, not here
     commit(table, currentSnapshot(table) + 1,
       withPart.schema.json, 0 until numParts, rows,
@@ -459,8 +502,21 @@ object IcebergishTable {
     // Minimal extraction of the "files":[...] array (manifests are written
     // by `commit` above — flat JSON, no nested arrays before "files").
     val files = manifestFilesStrict(table, snapshot, json)
-    if (files.isEmpty) spark.emptyDataFrame
-    else {
+    if (files.isEmpty) {
+      // A legitimately empty snapshot (createEmpty / CTAS snapshot 0) must
+      // read as a SCHEMA-TYPED empty frame, not a zero-column one — a
+      // downstream .select would otherwise fail column-not-found.
+      val schemaIdx = json.indexOf("\"schema\":")
+      if (schemaIdx < 0)
+        throw new graft.ManifestCorrupted(table, snapshot,
+          "missing \"schema\" field")
+      val schemaJson = json.substring(schemaIdx + "\"schema\":".length,
+        json.length - 1)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } else {
       val paths = files.map(f => dir(table).resolve(f).toString)
       // basePath keeps the part=<k> partition column in the schema.
       spark.read

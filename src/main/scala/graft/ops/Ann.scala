@@ -72,9 +72,10 @@ object Ann {
   /** Sign-LSH bucket id of a vector. Fails loudly on a dimension mismatch:
     * silently truncating (the old `math.min`) would hash incomparable
     * spaces into one bucket table and quietly corrupt recall for every
-    * probe (round-2 VERDICT blemish #4). Callers derive planes from the
-    * row's own length, so a mismatch means ragged embeddings — a data bug
-    * the pipeline must surface, not absorb.
+    * probe (round-2 VERDICT blemish #4). Callers fix the plane family to
+    * the COLUMN's dimension (taken from the first row), so any ragged row
+    * trips this require — a per-row plane derivation would make the guard
+    * unreachable and absorb the data bug instead of surfacing it.
     */
   private[ops] def bucketOf(v: Array[Double], planes: Array[Array[Double]]): Int = {
     var bucket = 0
@@ -99,9 +100,14 @@ object Ann {
     val spark = df.sparkSession
     import spark.implicits._
     val v = normalized(df, idCol, vecCol).as[(Long, Seq[Double])]
+    // The column's dimension, fixed from the first row: every row then
+    // hashes against the SAME plane family, so a ragged vector fails
+    // bucketOf's dimension check instead of silently bucketing in its own
+    // incomparable space.
+    val dim = v.head()._2.length
     v.map { case (id, vec) =>
       val arr = vec.toArray
-      (id, vec, Ann.bucketOf(arr, Ann.planesFor(arr.length, nBits, seed)))
+      (id, vec, Ann.bucketOf(arr, Ann.planesFor(dim, nBits, seed)))
     }.toDF("id", "v", "bucket")
   }
 
@@ -281,10 +287,13 @@ object Ann {
     val spark = df.sparkSession
     import spark.implicits._
     val v = normalized(df, idCol, vecCol).as[(Long, Seq[Double])]
+    // Column dimension fixed from the first row (see lshBuckets): ragged
+    // rows must trip bucketOf's check, not hash in a private space.
+    val dim = v.head()._2.length
     val buckets = v.flatMap { case (id, vec) =>
       val arr = vec.toArray
       (0 until nTables).map { t =>
-        (id, vec, t, Ann.bucketOf(arr, Ann.planesFor(arr.length, nBits, seed + t)))
+        (id, vec, t, Ann.bucketOf(arr, Ann.planesFor(dim, nBits, seed + t)))
       }
     }.toDF("id", "v", "table", "bucket")
       // Both sides of the self-join: project nTables×nBits hyperplanes once.

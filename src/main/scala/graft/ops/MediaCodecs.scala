@@ -89,9 +89,19 @@ object MediaCodecs {
     val bottomUp = rawHeight > 0
     val height = math.abs(rawHeight)
     require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
+    // Long arithmetic + bounds: a corrupt header with huge dimensions (or
+    // a negative data offset) must raise the quarantine-catchable
+    // IllegalArgumentException here, not overflow Int past the check and
+    // then die on array allocation/indexing inside the executor.
+    require(width <= (1 << 20) && height <= (1 << 20) &&
+      width.toLong * height * 3 <= Int.MaxValue,
+      s"implausible dimensions ${width}x$height")
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"bad pixel-data offset $dataOffset")
     val stride = rowStride(width)
-    require(bytes.length >= dataOffset + stride * height,
-      s"truncated pixel data: need ${dataOffset + stride * height}, have ${bytes.length}")
+    val need = dataOffset.toLong + stride.toLong * height
+    require(bytes.length >= need,
+      s"truncated pixel data: need $need, have ${bytes.length}")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -263,8 +273,8 @@ object MediaCodecs {
     val frames = Vector.newBuilder[Bmp]
     def decodeFrame(off: Int, size: Int): Bmp = {
       val stride = rowStride(width)
-      require(size >= stride * height,
-        s"frame chunk too small: $size < ${stride * height}")
+      require(size.toLong >= stride.toLong * height,
+        s"frame chunk too small: $size < ${stride.toLong * height}")
       val rgb = new Array[Byte](width * height * 3)
       var y = 0
       while (y < height) {
@@ -308,6 +318,10 @@ object MediaCodecs {
             require(bpp == 24, s"unsupported bpp $bpp (only 24-bit DIB)")
             require(compression == 0,
               s"unsupported compression $compression (only BI_RGB)")
+            require(width > 0 && height > 0 &&
+              width <= (1 << 20) && height <= (1 << 20) &&
+              width.toLong * height * 3 <= Int.MaxValue,
+              s"implausible video dimensions ${width}x$height")
           case c if c.length == 4 && (c.endsWith("db") || c.endsWith("dc")) &&
               c.take(2).forall(_.isDigit) &&
               c.take(2).toInt == videoStream =>

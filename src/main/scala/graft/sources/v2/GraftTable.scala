@@ -281,9 +281,12 @@ final class GraftScan(path: String, dataSchema: StructType,
     val root = java.nio.file.Paths.get(path)
     val live: Set[String] = snapshot match {
       case Some(s) =>
-        val fs = IcebergishTable.snapshotFiles(path, s)
-        if (fs.isEmpty) throw new graft.SnapshotNotFound(path, s)
-        fs.toSet
+        // Distinguish EXPIRED (manifest gone → fail loudly) from a
+        // legitimately empty snapshot (createEmpty/CTAS → empty scan).
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(path, s"snap-$s.json")))
+          throw new graft.SnapshotNotFound(path, s)
+        IcebergishTable.snapshotFiles(path, s).toSet
       case None => IcebergishTable.liveDataFiles(path)
     }
     val bucketDirs = {

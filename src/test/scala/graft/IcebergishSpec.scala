@@ -299,4 +299,67 @@ class IcebergishSpec extends SparkSpec {
       .select("subj").as[String].collect().toSeq.sorted
     assert(rows == Seq("A", "C", "E"), s"duplicates after replay: $rows")
   }
+
+  test("overwrite drops old manifests: pinned reads of the old state fail loudly") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-ow").toString + "/t"
+    def rows(a: Int, b: Int) = (a until b)
+      .map(i => (s"k$i", i.toLong)).toDF("k", "v")
+    IcebergishTable.write(rows(0, 10), table, "k", 4)
+    IcebergishTable.write(rows(10, 15), table, "k", 4,
+      org.apache.spark.sql.SaveMode.Append)
+    val preSnap = IcebergishTable.currentSnapshot(table)
+    IcebergishTable.write(rows(100, 103), table, "k", 4) // overwrite
+    // New state reads; the overwritten snapshots' files are GONE, so both
+    // bespoke and DSv2 pinned reads must fail loudly, not return empty.
+    assert(IcebergishTable.read(spark, table).count() == 3)
+    intercept[SnapshotNotFound] {
+      IcebergishTable.readSnapshot(spark, table, preSnap)
+    }
+    val tbl = new graft.sources.v2.GraftTable("t", table)
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("snapshot", preSnap.toString)
+    intercept[SnapshotNotFound] {
+      tbl.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+        .build().toBatch.planInputPartitions()
+    }
+  }
+
+  test("a legitimately EMPTY snapshot reads typed and plans empty — not as expired") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-empty").toString + "/t"
+    IcebergishTable.createEmpty(table,
+      Seq(("a", 1L)).toDF("k", "v").schema, "k", 4)
+    // Schema-typed empty frame (a zero-column one would break .select).
+    val snap0 = IcebergishTable.readSnapshot(spark, table, 0)
+    assert(snap0.select("k", "v").count() == 0)
+    // Pinned DSv2 scan of the empty snapshot plans zero partitions.
+    val tbl = new graft.sources.v2.GraftTable("t", table)
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("snapshot", "0")
+    val parts = tbl.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+      .build().toBatch.planInputPartitions()
+    assert(parts.isEmpty)
+  }
+
+  test("appends onto a pre-versioned bucket layout (no bucket_fn) are refused") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-fn").toString + "/t"
+    IcebergishTable.write(
+      Seq(("a", 1L)).toDF("k", "v"), table, "k", 4)
+    // Simulate a table committed by the pre-murmur3 layout: strip the
+    // bucket_fn field from the current manifest.
+    val snap = IcebergishTable.currentSnapshot(table)
+    val m = java.nio.file.Paths.get(table, s"snap-$snap.json")
+    val json = new String(Files.readAllBytes(m), "UTF-8")
+      .replace(s""""bucket_fn":"${IcebergishTable.BucketFn}",""", "")
+    Files.write(m, json.getBytes("UTF-8"))
+    val err = intercept[BucketSpecMismatch] {
+      IcebergishTable.write(Seq(("b", 2L)).toDF("k", "v"), table, "k", 4,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(err.getMessage.contains("bucket_fn"))
+  }
 }

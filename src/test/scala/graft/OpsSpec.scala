@@ -100,6 +100,16 @@ class OpsSpec extends SparkSpec {
       nBits = 8, nTables = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == brute) // identical/near-identical vectors share every bucket
+
+    // Ragged embedding columns FAIL LOUDLY: the plane family is fixed to
+    // the column's dimension, so a row of another dimension trips the
+    // bucketOf guard instead of hashing in its own incomparable space.
+    val ragged = (rows :+ (999L, Array.fill(24)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Ann.lshBuckets(ragged, "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")), e.getMessage)
   }
 
   test("ANN: brute-force top-k exact; LSH top-k has decent recall and is a subset ranking") {

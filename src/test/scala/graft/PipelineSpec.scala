@@ -30,6 +30,12 @@ class PipelineSpec extends SparkSpec {
       .as[(String, String, String)].collect().toSet
     val goldenCanon = PageSynth.goldenTriples(spark, 42L, 600L, 8)
       .map(t => (t.subj, t.pred, t.obj)).collect().toSet
+    // run() publishes the same atomic cross-table root as build():
+    // consistent readers must be servable from either entry point.
+    assert(graft.io.RootCommit.currentRoot(cfg.workDir) >= 0)
+    assert(graft.io.RootCommit.readConsistent(spark, cfg.workDir, "edges")
+      .count() == stats.edges)
+
     val tp = (got intersect goldenCanon).size.toDouble
     val precision = tp / got.size
     val recall = tp / goldenCanon.size
