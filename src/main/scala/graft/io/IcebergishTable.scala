@@ -110,7 +110,25 @@ object IcebergishTable {
   private def commit(table: String, snapshot: Int, schemaJson: String,
                      parts: Seq[Int], rows: Long,
                      bucketKey: Option[(String, Int)] = None,
-                     epochUpdate: Map[String, Long] = Map.empty): Unit = {
+                     epochUpdate: Map[String, Long] = Map.empty): Unit =
+    // Same per-table monitor as streamCommit: two in-JVM writers racing
+    // here would both read VERSION=n and both write snap-(n+1), one
+    // clobbering the other's manifest. (Cross-JVM stays single-writer by
+    // contract, like Iceberg's commit protocol.)
+    commitLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      commitLocked(table, snapshot, schemaJson, parts, rows, bucketKey,
+        epochUpdate)
+    }
+
+  private def commitLocked(table: String, requested: Int, schemaJson: String,
+                           parts: Seq[Int], rows: Long,
+                           bucketKey: Option[(String, Int)],
+                           epochUpdate: Map[String, Long]): Unit = {
+    // Callers compute currentSnapshot+1 BEFORE taking the lock; if another
+    // writer committed in between, their number is stale — bump to the
+    // next free one (the manifest content is directory-derived here inside
+    // the lock, so it already reflects the merged file set).
+    val snapshot = math.max(requested, currentSnapshot(table) + 1)
     val d = dir(table)
     Files.createDirectories(d)
     // Snapshot manifest records the exact file list — Iceberg-style
