@@ -50,6 +50,29 @@ object IcebergishTable {
 
   private def dir(table: String): Path = Paths.get(table)
 
+  /** Extract the trailing `"schema":<json>` field of a manifest ("schema"
+    * is always the final field — see commit). ONE implementation: read(),
+    * readSnapshot() and manifestMeta() must parse identically or a format
+    * tweak would desynchronize them.
+    */
+  private def schemaJsonFrom(json: String, table: String,
+                             snapshot: Int): String = {
+    val idx = json.indexOf("\"schema\":")
+    if (idx < 0)
+      throw new graft.ManifestCorrupted(table, snapshot,
+        "missing \"schema\" field")
+    json.substring(idx + "\"schema\":".length, json.length - 1)
+  }
+
+  /** Schema-typed empty frame (zero-column emptyDataFrame would break any
+    * downstream `.select`).
+    */
+  private def emptyTyped(spark: SparkSession, schemaJson: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
@@ -111,10 +134,15 @@ object IcebergishTable {
                      parts: Seq[Int], rows: Long,
                      bucketKey: Option[(String, Int)] = None,
                      epochUpdate: Map[String, Long] = Map.empty): Unit =
-    // Same per-table monitor as streamCommit: two in-JVM writers racing
-    // here would both read VERSION=n and both write snap-(n+1), one
-    // clobbering the other's manifest. (Cross-JVM stays single-writer by
-    // contract, like Iceberg's commit protocol.)
+    // Per-table monitor (same one streamCommit takes): protects the
+    // MANIFEST CHAIN — two in-JVM committers racing here would both read
+    // VERSION=n and both write snap-(n+1), one clobbering the other.
+    // It does NOT make concurrent batch WRITES to one table atomic: the
+    // file list here is directory-derived, so a commit landing while
+    // another writer's job-commit is mid-promotion would capture a torn
+    // file set. Batch writers stay one-at-a-time per table by contract
+    // (Iceberg's optimistic-concurrency analog); the streaming path is
+    // safe because its files are staged and promoted INSIDE this lock.
     commitLocks.computeIfAbsent(table, _ => new Object).synchronized {
       commitLocked(table, snapshot, schemaJson, parts, rows, bucketKey,
         epochUpdate)
@@ -233,23 +261,25 @@ object IcebergishTable {
       .mode(mode)
       .partitionBy(PartCol)
       .parquet(dir(table).resolve("data").toString)
+    // Overwrite is a re-create: clear the tombstone ledger only AFTER the
+    // write succeeded (clearing first would resurrect compacted-away
+    // duplicates into directory-derived reads if the job failed).
+    if (mode != SaveMode.Append) writeTombstones(table, Set.empty)
+    val prior = currentSnapshot(table)
+    val rows = 0L // row count recorded by the checkpoint layer, not here
+    commit(table, prior + 1,
+      withPart.schema.json, 0 until numParts, rows,
+      bucketKey = Some((keyCol, numParts)))
     if (mode != SaveMode.Append) {
-      // Overwrite is a re-create: clear the tombstone ledger only AFTER
-      // the write succeeded (clearing first would resurrect compacted-away
-      // duplicates into directory-derived reads if the job failed), and
-      // drop the old snapshot manifests — their data files are gone, so a
-      // later pinned read must fail loudly (SnapshotNotFound), not return
-      // silently-empty results.
-      writeTombstones(table, Set.empty)
-      val cur = currentSnapshot(table)
-      (0 to cur).foreach { sOld =>
+      // Drop the overwritten snapshots' manifests AFTER the new commit is
+      // durable — their data files are gone, so a later pinned read must
+      // fail loudly (SnapshotNotFound), not return silently-empty results.
+      // Deleting before the commit would open a crash window where VERSION
+      // points at a deleted manifest and the table metadata is unreadable.
+      (0 to prior).foreach { sOld =>
         Files.deleteIfExists(dir(table).resolve(s"snap-$sOld.json"))
       }
     }
-    val rows = 0L // row count recorded by the checkpoint layer, not here
-    commit(table, currentSnapshot(table) + 1,
-      withPart.schema.json, 0 until numParts, rows,
-      bucketKey = Some((keyCol, numParts)))
   }
 
   /** Write a DataFrame that is ALREADY hash-partitioned on `PartCol` (each
@@ -338,11 +368,7 @@ object IcebergishTable {
         "VERSION points at a missing manifest")
     val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
     // "schema": is always the final manifest field (see commit above).
-    val schemaIdx = json.indexOf("\"schema\":")
-    if (schemaIdx < 0)
-      throw new graft.ManifestCorrupted(table, snap, "missing \"schema\" field")
-    val schemaJson = json.substring(schemaIdx + "\"schema\":".length,
-      json.length - 1)
+    val schemaJson = schemaJsonFrom(json, table, snap)
     try {
       org.apache.spark.sql.types.DataType.fromJson(schemaJson)
     } catch {
@@ -494,13 +520,9 @@ object IcebergishTable {
       spark.read
         .option("basePath", dir(table).resolve("data").toString)
         .parquet(files.map(f => dir(table).resolve(f).toString): _*)
-    else if (exists(table)) {
-      val (schemaJson, _) = manifestMeta(table)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-    } else
+    else if (exists(table))
+      emptyTyped(spark, manifestMeta(table)._1)
+    else
       spark.read.parquet(dir(table).resolve("data").toString) // loud failure
   }
 
@@ -522,18 +544,8 @@ object IcebergishTable {
     val files = manifestFilesStrict(table, snapshot, json)
     if (files.isEmpty) {
       // A legitimately empty snapshot (createEmpty / CTAS snapshot 0) must
-      // read as a SCHEMA-TYPED empty frame, not a zero-column one — a
-      // downstream .select would otherwise fail column-not-found.
-      val schemaIdx = json.indexOf("\"schema\":")
-      if (schemaIdx < 0)
-        throw new graft.ManifestCorrupted(table, snapshot,
-          "missing \"schema\" field")
-      val schemaJson = json.substring(schemaIdx + "\"schema\":".length,
-        json.length - 1)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      // read as a SCHEMA-TYPED empty frame, not a zero-column one.
+      emptyTyped(spark, schemaJsonFrom(json, table, snapshot))
     } else {
       val paths = files.map(f => dir(table).resolve(f).toString)
       // basePath keeps the part=<k> partition column in the schema.
@@ -676,16 +688,27 @@ object IcebergishTable {
     }
   }
 
+  /** Relative data-file list of a snapshot manifest, distinguishing a
+    * MISSING/expired manifest (None — callers usually fail loudly) from a
+    * legitimately empty one (Some(empty) — createEmpty/CTAS state). One
+    * filesystem read: no exists-then-read TOCTOU against concurrent
+    * expiry.
+    */
+  def snapshotFilesOpt(table: String, snapshot: Int): Option[Seq[String]] = {
+    val m = dir(table).resolve(s"snap-$snapshot.json")
+    val json =
+      try new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => return None }
+    Some(manifestFilesStrict(table, snapshot, json))
+  }
+
   /** Relative data-file list recorded in a snapshot's manifest (empty when
-    * the manifest is missing/expired). Public for the DSv2 catalog's
+    * the manifest is missing/expired — use [[snapshotFilesOpt]] where the
+    * two cases must not be conflated). Public for the DSv2 catalog's
     * time-travel reads.
     */
-  def snapshotFiles(table: String, snapshot: Int): Seq[String] = {
-    val m = dir(table).resolve(s"snap-$snapshot.json")
-    if (!Files.exists(m)) return Seq.empty
-    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-    manifestFilesStrict(table, snapshot, json)
-  }
+  def snapshotFiles(table: String, snapshot: Int): Seq[String] =
+    snapshotFilesOpt(table, snapshot).getOrElse(Seq.empty)
 
   def drop(table: String): Unit = {
     val d = dir(table)

@@ -53,12 +53,11 @@ object Ann {
 
   /** Executor-side plane cache: the counter-based RNG makes planes a pure
     * function of (dim, nBits, seed), so every executor derives IDENTICAL
-    * planes from the row's own vector length — no `head()` job to learn the
-    * dimension, nothing broadcast. Bounded: a healthy dataset has ONE
-    * dimension; ragged embedding lengths would otherwise both leak plane
-    * matrices and silently hash incomparable spaces, so more than a handful
-    * of distinct keys clears the cache (correctness is unaffected — planes
-    * are recomputed deterministically).
+    * planes with nothing broadcast. The dimension itself comes from the
+    * COLUMN (callers pay one tiny take(1) job) so that a ragged row trips
+    * [[bucketOf]]'s loud guard instead of hashing in its own incomparable
+    * space. Bounded: a healthy workload has few (dim, bits, seed) keys;
+    * overflow just clears the cache (planes recompute deterministically).
     */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
@@ -103,8 +102,12 @@ object Ann {
     // The column's dimension, fixed from the first row: every row then
     // hashes against the SAME plane family, so a ragged vector fails
     // bucketOf's dimension check instead of silently bucketing in its own
-    // incomparable space.
-    val dim = v.head()._2.length
+    // incomparable space. An empty (or all-zero-norm) input is a valid
+    // empty index, not an error.
+    val first = v.take(1)
+    if (first.isEmpty)
+      return Seq.empty[(Long, Seq[Double], Int)].toDF("id", "v", "bucket")
+    val dim = first(0)._2.length
     v.map { case (id, vec) =>
       val arr = vec.toArray
       (id, vec, Ann.bucketOf(arr, Ann.planesFor(dim, nBits, seed)))
@@ -288,8 +291,12 @@ object Ann {
     import spark.implicits._
     val v = normalized(df, idCol, vecCol).as[(Long, Seq[Double])]
     // Column dimension fixed from the first row (see lshBuckets): ragged
-    // rows must trip bucketOf's check, not hash in a private space.
-    val dim = v.head()._2.length
+    // rows must trip bucketOf's check, not hash in a private space. An
+    // empty input yields zero pairs, not a crash.
+    val first = v.take(1)
+    if (first.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("ia", "ib", "cosine")
+    val dim = first(0)._2.length
     val buckets = v.flatMap { case (id, vec) =>
       val arr = vec.toArray
       (0 until nTables).map { t =>

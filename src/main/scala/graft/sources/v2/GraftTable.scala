@@ -281,12 +281,12 @@ final class GraftScan(path: String, dataSchema: StructType,
     val root = java.nio.file.Paths.get(path)
     val live: Set[String] = snapshot match {
       case Some(s) =>
-        // Distinguish EXPIRED (manifest gone → fail loudly) from a
-        // legitimately empty snapshot (createEmpty/CTAS → empty scan).
-        if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(path, s"snap-$s.json")))
-          throw new graft.SnapshotNotFound(path, s)
-        IcebergishTable.snapshotFiles(path, s).toSet
+        // ONE manifest read: EXPIRED (manifest gone → fail loudly) vs a
+        // legitimately empty snapshot (createEmpty/CTAS → empty scan) —
+        // an exists-then-reread pair would race concurrent expiry into a
+        // silent empty result.
+        IcebergishTable.snapshotFilesOpt(path, s)
+          .getOrElse(throw new graft.SnapshotNotFound(path, s)).toSet
       case None => IcebergishTable.liveDataFiles(path)
     }
     val bucketDirs = {
