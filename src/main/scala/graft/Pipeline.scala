@@ -249,14 +249,18 @@ object Pipeline {
     // one root commit — a reader resolving through the root can never see
     // new edges with old vertices (the torn window between the two stage
     // commits above). See io.RootCommit.
-    timed("root commit") {
-      graft.io.RootCommit.commit(cfg.workDir, Map(
-        "pages" -> IcebergishTable.currentSnapshot(table),
-        "edges" -> IcebergishTable.currentSnapshot(edgesTable),
-        "vertices" -> IcebergishTable.currentSnapshot(s"${cfg.workDir}/vertices")))
-    }
+    timed("root commit")(publishRoot(cfg, table))
     edgeStats.rowsWritten
   }
+
+  /** The ONE cross-table root-publish used by both entry points — the
+    * member-table set must never diverge between build() and run().
+    */
+  private def publishRoot(cfg: PipelineConfig, pagesTable: String): Unit =
+    graft.io.RootCommit.commit(cfg.workDir, Map(
+      "pages" -> IcebergishTable.currentSnapshot(pagesTable),
+      "edges" -> IcebergishTable.currentSnapshot(s"${cfg.workDir}/edges"),
+      "vertices" -> IcebergishTable.currentSnapshot(s"${cfg.workDir}/vertices")))
 
   /** Run the full pipeline; returns stage row counts. */
   def run(spark: SparkSession, cfg: PipelineConfig): PipelineStats = {
@@ -292,10 +296,7 @@ object Pipeline {
     // Same atomic cross-table publish as build(): without it the
     // edges-then-vertices torn window stays open on this entry point and
     // RootCommit.readConsistent cannot serve run()-produced workDirs.
-    graft.io.RootCommit.commit(cfg.workDir, Map(
-      "pages" -> IcebergishTable.currentSnapshot(table),
-      "edges" -> IcebergishTable.currentSnapshot(s"${cfg.workDir}/edges"),
-      "vertices" -> IcebergishTable.currentSnapshot(s"${cfg.workDir}/vertices")))
+    publishRoot(cfg, table)
 
     PipelineStats(
       pages = spark.read.parquet(s"$table/data").count(),
