@@ -508,28 +508,54 @@ object IcebergishTable {
         Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
 
-  /** Current table state: the LIVE file set (on disk minus compaction
-    * tombstones), pinned at call time — snapshot-consistent like Iceberg,
-    * not a mutable directory view. Tables with zero live files read as a
-    * schema-typed empty frame (from the manifest), never a schema-inference
-    * error.
+  /** Current table state = the CURRENT MANIFEST's file list — genuinely
+    * snapshot-consistent: a concurrent append's files sit in the bucket
+    * dirs before its commit, and a directory-derived read would leak that
+    * uncommitted half-state (they enter visibility only with their own
+    * commit's manifest). Tables with zero committed files read as a
+    * schema-typed empty frame (from the manifest), never a
+    * schema-inference error; a torn manifest fails typed.
     */
   def read(spark: SparkSession, table: String): DataFrame = {
-    val files = listDataFiles(table)
+    val snap = currentSnapshot(table)
+    if (snap < 0)
+      return spark.read.parquet(dir(table).resolve("data").toString) // loud failure
+    val files = snapshotFilesOpt(table, snap).getOrElse(
+      throw new graft.ManifestCorrupted(table, snap,
+        "VERSION points at a missing manifest"))
     if (files.nonEmpty)
       spark.read
         .option("basePath", dir(table).resolve("data").toString)
         .parquet(files.map(f => dir(table).resolve(f).toString): _*)
-    else if (exists(table))
-      emptyTyped(spark, manifestMeta(table)._1)
     else
-      spark.read.parquet(dir(table).resolve("data").toString) // loud failure
+      emptyTyped(spark, manifestMeta(table)._1)
   }
 
   /** Live (non-tombstoned) data files, relative to the table root — the
     * DSv2 scan filters its bucket-directory listings against this.
     */
   def liveDataFiles(table: String): Set[String] = listDataFiles(table).toSet
+
+  /** Tamper-TOLERANT current-state read for resume verification: committed
+    * files that no longer exist on disk are skipped, so a partially-deleted
+    * bucket reads as its surviving rows and FAILS ITS FINGERPRINT CHECK
+    * (→ recompute) instead of killing the verification read itself. Normal
+    * reads ([[read]]) stay strict — a missing committed file is loud.
+    */
+  def readVerification(spark: SparkSession, table: String): DataFrame = {
+    val snap = currentSnapshot(table)
+    if (snap < 0) return read(spark, table) // same loud failure
+    val files = snapshotFilesOpt(table, snap).getOrElse(
+        throw new graft.ManifestCorrupted(table, snap,
+          "VERSION points at a missing manifest"))
+      .filter(f => Files.exists(dir(table).resolve(f)))
+    if (files.nonEmpty)
+      spark.read
+        .option("basePath", dir(table).resolve("data").toString)
+        .parquet(files.map(f => dir(table).resolve(f).toString): _*)
+    else
+      emptyTyped(spark, manifestMeta(table)._1)
+  }
 
   /** Time travel: read the table exactly as of `snapshot` (the file list
     * recorded in that snapshot's manifest). Dropped/compacted files that

@@ -52,7 +52,10 @@ object GraphOut {
     // anything else demotes to pending and recomputes.
     if (IcebergishTable.hasNoDataFiles(table))
       return done.filter(p => expected(p) == "0")
-    val actual = IcebergishTable.read(spark, table)
+    // Tamper-tolerant read: a deleted acked file must surface as a
+    // fingerprint mismatch below (→ demote to pending and recompute),
+    // not abort the verification with a missing-path error.
+    val actual = IcebergishTable.readVerification(spark, table)
       .where(col(IcebergishTable.PartCol).isin(done.toSeq: _*))
       .groupBy(col(IcebergishTable.PartCol))
       .agg(coalesce(expr(s"bit_xor(xxhash64($keyCol))"), lit(0L)).as("fp"))

@@ -277,9 +277,12 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[ManifestCorrupted] { IcebergishTable.manifestMeta(table) }
     intercept[ManifestCorrupted] { IcebergishTable.rollbackTo(table, snap) }
     intercept[ManifestCorrupted] { IcebergishTable.readSnapshot(spark, table, snap) }
+    // Current-state reads are manifest-based, so the corruption surfaces
+    // typed there too (no silent directory fallback).
+    intercept[ManifestCorrupted] { IcebergishTable.read(spark, table) }
+    java.nio.file.Files.write(m, intact.getBytes("UTF-8")) // restore
     assert(IcebergishTable.read(spark, table).count() == 1,
       "live data must survive a refused rollback")
-    java.nio.file.Files.write(m, intact.getBytes("UTF-8")) // restore
     assert(IcebergishTable.manifestMeta(table)._2 == Some(("k", 4)))
   }
 

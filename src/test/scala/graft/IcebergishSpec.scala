@@ -300,6 +300,30 @@ class IcebergishSpec extends SparkSpec {
     assert(rows == Seq("A", "C", "E"), s"duplicates after replay: $rows")
   }
 
+  test("read() is manifest-based: files landed by an uncommitted write stay invisible") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-snapread").toString + "/t"
+    IcebergishTable.write(
+      (0 until 20).map(i => (s"k$i", i.toLong)).toDF("k", "v"), table, "k", 4)
+    val before = IcebergishTable.read(spark, table).count()
+    assert(before == 20)
+    // Simulate a concurrent append mid-flight: its parquet file is already
+    // in a bucket directory but its commit has not happened yet. A
+    // directory-derived read would leak these rows; the manifest-based
+    // read must not.
+    val bucketDir = {
+      val s = Files.list(java.nio.file.Paths.get(s"$table/data"))
+      try s.iterator().next() finally s.close()
+    }
+    val existing = {
+      val s = Files.list(bucketDir)
+      try s.iterator().next() finally s.close()
+    }
+    Files.copy(existing, bucketDir.resolve("part-inflight-uncommitted.parquet"))
+    assert(IcebergishTable.read(spark, table).count() == before,
+      "uncommitted file leaked into a current-state read")
+  }
+
   test("overwrite drops old manifests: pinned reads of the old state fail loudly") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft-ow").toString + "/t"
