@@ -196,18 +196,38 @@ object IcebergishTable {
       else epochs.toSeq.sorted
         .map { case (q, e) => s""""${esc(q)}":$e""" }
         .mkString("\"epochs\":{", ",", "},")
-    val manifest =
-      s"""{"snapshot":$snapshot,"rows":$rows,$bucketMeta$epochMeta"partitions":[${parts.sorted.mkString(",")}],
+    def manifestFor(snap: Int): String =
+      s"""{"snapshot":$snap,"rows":$rows,$bucketMeta$epochMeta"partitions":[${parts.sorted.mkString(",")}],
          |"sizes":[${sizes.mkString(",")}],
          |"files":[${files.mkString(",")}],
          |"schema":$schemaJson}""".stripMargin.replace("\n", "")
-    Files.write(d.resolve(s"snap-$snapshot.json"),
-      manifest.getBytes(StandardCharsets.UTF_8))
-    // Atomic pointer swap = Iceberg's metadata commit.
-    val tmp = d.resolve("VERSION.tmp")
-    Files.write(tmp, snapshot.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, d.resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // Optimistic cross-JVM chain safety (Iceberg's CAS-on-metadata analog):
+    // the manifest is created with CREATE_NEW — the filesystem arbitrates
+    // the snapshot number, so a racing writer in ANOTHER JVM (which this
+    // JVM's monitor cannot see) simply claims the next number instead of
+    // clobbering ours.
+    var snap = snapshot
+    var placed = false
+    while (!placed) {
+      try {
+        Files.write(d.resolve(s"snap-$snap.json"),
+          manifestFor(snap).getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        placed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => snap += 1
+      }
+    }
+    // Atomic pointer swap = Iceberg's metadata commit. Monotonic repair:
+    // if a racing swap with a HIGHER snapshot landed between our write and
+    // a stale re-read, never move the pointer backwards.
+    if (currentSnapshot(table) < snap) {
+      val tmp = d.resolve("VERSION.tmp")
+      Files.write(tmp, snap.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, d.resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Reject a write whose bucket layout disagrees with the table's
