@@ -368,6 +368,27 @@ class IcebergishSpec extends SparkSpec {
     assert(parts.isEmpty)
   }
 
+  test("commit CAS: a racing writer's manifest is never clobbered — the chain steps past it") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-cas").toString + "/t"
+    IcebergishTable.write(
+      (0 until 8).map(i => (s"k$i", i.toLong)).toDF("k", "v"), table, "k", 4)
+    val s = IcebergishTable.currentSnapshot(table)
+    // Simulate another JVM that placed snap-(s+1) but has not (yet)
+    // swapped VERSION — invisible to this JVM's commit monitor.
+    val racer = java.nio.file.Paths.get(table, s"snap-${s + 1}.json")
+    val racerBytes = "RACER-MANIFEST".getBytes("UTF-8")
+    Files.write(racer, racerBytes)
+    IcebergishTable.write(
+      Seq(("extra", 99L)).toDF("k", "v"), table, "k", 4,
+      org.apache.spark.sql.SaveMode.Append)
+    // Our commit stepped past the racer's number instead of overwriting it.
+    assert(IcebergishTable.currentSnapshot(table) == s + 2)
+    assert(java.util.Arrays.equals(Files.readAllBytes(racer), racerBytes),
+      "racing writer's manifest was clobbered")
+    assert(IcebergishTable.read(spark, table).count() == 9)
+  }
+
   test("appends onto a pre-versioned bucket layout (no bucket_fn) are refused") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft-fn").toString + "/t"
