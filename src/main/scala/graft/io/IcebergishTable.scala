@@ -36,6 +36,15 @@ object IcebergishTable {
     */
   val BucketFn = "murmur3-pmod"
 
+  /** Bucket index encoded in a table-relative data path
+    * (`data/part=<k>/…`) — the ONE parser shared by batch scan planning
+    * and the micro-batch stream (they must never bucket a file
+    * differently).
+    */
+  def bucketOfPath(rel: String): Int =
+    rel.split('/').find(_.startsWith(PartCol + "="))
+      .map(_.stripPrefix(PartCol + "=").toInt).getOrElse(0)
+
   /** Bucket of a key: pmod(murmur3(key), n) — DELIBERATELY the exact hash
     * Spark's own HashPartitioning uses (`hash()` = Murmur3, seed 42), so
     * `df.repartition(n, col(key))` aligns shuffle partitions 1:1 with
@@ -170,9 +179,19 @@ object IcebergishTable {
     // forward from the previous manifest and only files NEW to this commit
     // get statted — a streaming sink's per-epoch commit stays O(new files),
     // not O(table history).
-    val prevSizes: Map[String, Long] =
-      snapshotFilesWithSizes(table, currentSnapshot(table))
-        .map(_.toMap).getOrElse(Map.empty)
+    val curSnap = currentSnapshot(table)
+    // ONE read of the current manifest feeds both the size carry-forward
+    // and the epoch carry-forward below (it was read three times before —
+    // manifests are proportional to the file list, so this is the commit
+    // path's metadata I/O).
+    val curJson: Option[String] =
+      if (curSnap < 0) None
+      else try Some(new String(Files.readAllBytes(
+        d.resolve(s"snap-$curSnap.json")), StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => None }
+    val prevSizes: Map[String, Long] = curJson
+      .flatMap(j => sizesFromJson(j, table, curSnap))
+      .map(_.toMap).getOrElse(Map.empty)
     val sizes = fileList.map(f =>
       prevSizes.getOrElse(f, Files.size(d.resolve(f))))
     // bucket_key/buckets record the partition spec (hash-bucket transform):
@@ -190,7 +209,8 @@ object IcebergishTable {
     // EVERY commit): the VERSION swap is then the single atomic point that
     // commits a micro-batch's files AND records its epoch — no window where
     // one is durable without the other (see streamCommit).
-    val epochs = manifestEpochs(table) ++ epochUpdate
+    val epochs =
+      curJson.map(epochsFromJson).getOrElse(Map.empty) ++ epochUpdate
     val epochMeta =
       if (epochs.isEmpty) ""
       else epochs.toSeq.sorted
@@ -416,7 +436,10 @@ object IcebergishTable {
     if (snap < 0) return Map.empty
     val m = dir(table).resolve(s"snap-$snap.json")
     if (!Files.exists(m)) return Map.empty
-    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    epochsFromJson(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+  }
+
+  private def epochsFromJson(json: String): Map[String, Long] =
     """"epochs":\{(.*?)\}""".r.findFirstMatchIn(json) match {
       case None => Map.empty
       case Some(g) =>
@@ -425,7 +448,6 @@ object IcebergishTable {
             -> p.group(2).toLong)
           .toMap
     }
-  }
 
   /** Commit one streaming micro-batch: promote `staged` files (written by
     * the DSv2 StreamingWrite's DataWriters under `data/_staging/…`, hidden
@@ -472,7 +494,18 @@ object IcebergishTable {
       sweepStaging() // a replayed epoch's staging leftovers are all garbage
       return
     }
-    rollbackTo(table, cur) // sweep a crashed attempt's promoted-but-uncommitted files
+    // Sweep a crashed attempt's promoted-but-uncommitted files — but ONLY
+    // this query's own (file names carry a -q<queryId>- segment): a full
+    // rollback sweep would also reap a concurrent batch maintenance
+    // writer's (e.g. compact's) job-committed-but-not-yet-manifest-
+    // committed files in its promote window.
+    val committed = snapshotFilesOpt(table, cur).getOrElse(
+      throw new graft.ManifestCorrupted(table, cur,
+        "VERSION points at a missing manifest")).toSet
+    listDataFiles(table)
+      .filterNot(committed)
+      .filter(_.contains(s"-q$queryId-"))
+      .foreach(f => Files.deleteIfExists(dir(table).resolve(f)))
     val (schemaJson, spec) = manifestMeta(table)
     staged.foreach { case (b, rel) =>
       val src = dir(table).resolve(rel)
@@ -725,14 +758,18 @@ object IcebergishTable {
                              snapshot: Int): Option[Seq[(String, Long)]] = {
     val m = dir(table).resolve(s"snap-$snapshot.json")
     if (!Files.exists(m)) return None
-    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    sizesFromJson(new String(Files.readAllBytes(m), StandardCharsets.UTF_8),
+      table, snapshot)
+  }
+
+  private def sizesFromJson(json: String, table: String,
+                            snapshot: Int): Option[Seq[(String, Long)]] =
     """"sizes":\[([0-9,\s]*)\]""".r.findFirstMatchIn(json).flatMap { g =>
       val sizes = g.group(1).split(",").iterator
         .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
       val files = manifestFilesStrict(table, snapshot, json)
       if (files.length == sizes.length) Some(files.zip(sizes)) else None
     }
-  }
 
   /** Relative data-file list of a snapshot manifest, distinguishing a
     * MISSING/expired manifest (None — callers usually fail loudly) from a

@@ -180,9 +180,12 @@ object Multimodal {
       }
       prevLuma = luma
     }
-    val total = nPix * avi.frames.size
+    // Long/Double arithmetic: nPix(≤ Int.Max/3) × frames overflows Int for
+    // ~35 s of 1080p — the decoder accepts such files, so the divisor must
+    // not wrap (the motion term below was already written with toLong).
+    val total = nPix.toDouble * avi.frames.size
     var d = 0
-    while (d < dim) { if (d != 4) out(d) /= total; d += 1 }
+    while (d < dim) { if (d != 4) out(d) = (out(d) / total).toFloat; d += 1 }
     if (avi.frames.size > 1)
       out(4) = (motion / (nPix.toLong * (avi.frames.size - 1))).toFloat
     out

@@ -111,13 +111,15 @@ final class GraftStreamingDataWriter(path: String, key: String, n: Int,
   override def write(row: InternalRow): Unit = {
     val b = bucketOf(row)
     val w = open.getOrElseUpdate(b, {
-      // epochId is part of the FILE name, not just the staging dir: task
-      // ids reset with a new SparkContext, so after an application restart
-      // a later epoch's (partition, task) pair can repeat an earlier
-      // epoch's — promoting a colliding name would silently REPLACE the
-      // earlier committed file.
+      // queryId AND epochId are part of the FILE name, not just the
+      // staging dir: task ids reset with a new SparkContext, so across
+      // application restarts another epoch — or another QUERY — can
+      // repeat a (partition, task) pair, and promoting a colliding name
+      // would silently REPLACE an earlier committed file. The -q<id>-
+      // segment also lets the epoch commit sweep exactly THIS query's
+      // crashed-promote orphans (see IcebergishTable.streamCommit).
       val rel = s"data/_staging/q-$queryId/epoch-$epochId/" +
-        s"b$b-e$epochId-p$partitionId-t$taskId.parquet"
+        s"b$b-q$queryId-e$epochId-p$partitionId-t$taskId.parquet"
       val abs = Paths.get(path).resolve(rel)
       Files.createDirectories(abs.getParent)
       (GraftParquetWriterBridge.open(abs.toString, confEntries,

@@ -234,11 +234,6 @@ final class GraftScan(path: String, dataSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
-  /** Bucket index from a manifest-relative path (`data/part=<k>/…`). */
-  private def bucketOfPath(rel: String): Int =
-    rel.split('/').find(_.startsWith(IcebergishTable.PartCol + "="))
-      .map(_.stripPrefix(IcebergishTable.PartCol + "=").toInt).getOrElse(0)
-
   private def planPartitions(): Array[InputPartition] = {
     val root = java.nio.file.Paths.get(path)
     val snap = snapshot.getOrElse(IcebergishTable.currentSnapshot(path))
@@ -252,7 +247,8 @@ final class GraftScan(path: String, dataSchema: StructType,
     IcebergishTable.snapshotFilesWithSizes(path, snap) match {
       case Some(withSizes) =>
         withSizes
-          .map { case (rel, size) => (bucketOfPath(rel), rel, size) }
+          .map { case (rel, size) =>
+            (IcebergishTable.bucketOfPath(rel), rel, size) }
           .filter { case (b, _, _) => prunedBuckets.forall(_.contains(b)) }
           .groupBy(_._1).toSeq.sortBy(_._1)
           .map { case (b, files) =>
@@ -407,7 +403,12 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
         java.nio.file.Paths.get(path, s"snap-$e.json")))
       throw new graft.SnapshotNotFound(path, e) // expired under the stream
     val before: Set[String] =
-      if (s < 0) Set.empty else IcebergishTable.snapshotFiles(path, s).toSet
+      if (s < 0) Set.empty
+      else IcebergishTable.snapshotFilesOpt(path, s)
+        // Expired START manifest must fail loudly too: reading it leniently
+        // as "no prior files" would re-emit the whole table as one giant
+        // duplicate batch after an expiry during stream downtime.
+        .getOrElse(throw new graft.SnapshotNotFound(path, s)).toSet
     // Manifest-recorded sizes (present on every current-format commit)
     // make batch planning metadata-only; pre-"sizes" manifests stat.
     val sizeOf: Map[String, Long] =
@@ -417,11 +418,7 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
     val root = java.nio.file.Paths.get(path)
     val added = after.filterNot(before)
     added
-      .groupBy { rel =>
-        // data/part=<k>/file.parquet → bucket k
-        val seg = rel.split('/').find(_.startsWith(IcebergishTable.PartCol + "="))
-        seg.map(_.stripPrefix(IcebergishTable.PartCol + "=").toInt).getOrElse(0)
-      }
+      .groupBy(IcebergishTable.bucketOfPath)
       .toSeq.sortBy(_._1)
       .map { case (b, rels) =>
         val partValues: InternalRow =

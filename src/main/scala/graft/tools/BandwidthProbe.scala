@@ -26,12 +26,18 @@ object BandwidthProbe {
   def main(args: Array[String]): Unit = {
     val levels = Seq(1, 2, 4, 8, 16, 32)
     val passes = 20
-    // Warm allocation + JIT once at full width.
-    val arrays = (0 until levels.max).map { t =>
-      Array.tabulate(WordsPerThread)(i => (i * 2654435761L) ^ t)
-    }.toArray
-    streamSum(arrays(0), 2)
+    // Allocate per level ON DEMAND (peak 8 GiB only at 32 threads): an
+    // eager full allocation would OOM a small-heap JVM before the 1- and
+    // 2-thread rows — which need only 256-512 MiB — ever print.
+    val arrays = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    def ensure(n: Int): Unit =
+      while (arrays.length < n)
+        arrays += Array.tabulate(WordsPerThread)(i =>
+          (i * 2654435761L) ^ arrays.length)
+    ensure(1)
+    streamSum(arrays(0), 2) // JIT warm
     levels.foreach { n =>
+      ensure(n)
       val t0 = System.nanoTime()
       val threads = (0 until n).map { t =>
         val th = new Thread(() => {

@@ -42,7 +42,13 @@ object GraftParquetWriterBridge {
       SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key ->
         sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString,
       SQLConf.CASE_SENSITIVE.key -> sqlConf.caseSensitiveAnalysis.toString,
-      ParquetOutputFormat.COMPRESSION -> sqlConf.parquetCompressionCodec
+      // Spark codec names ("none", "lz4raw", …) must map through
+      // ParquetOptions to parquet-mr enum names ("UNCOMPRESSED",
+      // "LZ4_RAW") — the raw SQLConf value crashes CompressionCodecName
+      // .fromConf for exactly those legal values.
+      ParquetOutputFormat.COMPRESSION ->
+        new ParquetOptions(Map.empty[String, String], sqlConf)
+          .compressionCodecClassName
     )
   }
 
