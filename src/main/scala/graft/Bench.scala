@@ -263,21 +263,29 @@ object Bench {
       // artifact records the skew-handling cost side by side.
       "q_skew_plain", "q_skew_salted")
     val queries = SparkEntry.queries
-    val qTimes = headline.flatMap { name =>
+    val qTimes: Seq[(String, Option[Double])] = headline.flatMap { name =>
       queries.get(name).map { fn =>
-        // min of 2: single-shot timings are storm-exposed.
+        // min of 2: single-shot timings are storm-exposed. A crashed query
+        // records an explicit "err" marker — silently converting a crash
+        // into a (bogus, fast) timing would poison the artifact.
         val secs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+            None
+          }
         }
-        name -> secs.min
+        name -> (if (secs.forall(_.isDefined)) Some(secs.flatten.min) else None)
       }
     }
     spark.stop()
 
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = qTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val qs = qTimes.map {
+      case (k, Some(v)) => s""""$k":${f(v)}"""
+      case (k, None) => s""""$k":"err""""
+    }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"kg_triples_per_sec","value":${f(thrHi)},"unit":"triples/sec",""" +
         s""""queries":$qs,"sf":"$sfDir","pages":$nPages,"triples":$triples,""" +

@@ -299,7 +299,10 @@ object Pipeline {
     publishRoot(cfg, table)
 
     PipelineStats(
-      pages = spark.read.parquet(s"$table/data").count(),
+      // Manifest-consistent count: a raw directory read would include
+      // tombstoned/compacted files and committer orphans the snapshot view
+      // correctly excludes.
+      pages = IcebergishTable.read(spark, table).count(),
       mentions = linked.count(),
       triples = triples.count(),
       vertices = IcebergishTable.read(spark, s"${cfg.workDir}/vertices").count(),

@@ -707,6 +707,19 @@ object IcebergishTable {
     */
   def compact(spark: SparkSession, table: String, numParts: Int,
               keyCol: String = ""): Unit = {
+    // An empty keyCol means "keep the committed layout": dropping the spec
+    // because the caller omitted one argument would silently decay the
+    // table to unpartitioned (catalog stops reporting the bucket transform,
+    // SPJ lost, append gates disarmed). A caller-supplied key must still
+    // match the committed spec exactly.
+    val spec: Option[(String, Int)] = bucketSpecOf(table) match {
+      case Some((k, n)) =>
+        if (keyCol.nonEmpty && (keyCol != k || numParts != n))
+          throw new graft.BucketSpecMismatch(table, s"($k, $n)",
+            s"($keyCol, $numParts)")
+        Some((k, n))
+      case None => if (keyCol.nonEmpty) Some((keyCol, numParts)) else None
+    }
     val prevFiles = listDataFiles(table).toSet
     val current = read(spark, table)
       .repartition(numParts, col(PartCol))
@@ -724,9 +737,13 @@ object IcebergishTable {
     // the fresh files, so the new manifest (and every later directory-based
     // commit) excludes the compacted-away history.
     writeTombstones(table, tombstones(table) ++ prevFiles)
+    // Partition list from the COMMITTED spec when one exists: numParts
+    // shapes the rewrite's shuffle only (PartCol values are unchanged by
+    // the repartition), it is not a layout change.
     commit(table, currentSnapshot(table) + 1,
-      read(spark, table).schema.json, 0 until numParts, 0L,
-      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None)
+      read(spark, table).schema.json,
+      0 until spec.map(_._2).getOrElse(numParts), 0L,
+      bucketKey = spec)
   }
 
   /** Physically delete tombstoned files referenced by NO retained snapshot

@@ -45,17 +45,35 @@ object RootCommit {
           !Files.exists(dir(root).resolve(name).resolve(s"snap-$snap.json")))
         throw new graft.SnapshotNotFound(t, snap)
     }
-    val next = currentRoot(root) + 1
-    val body = tables.toSeq.sorted
-      .map { case (n, s) => s""""${n.replace("\"", "\\\"")}":$s""" }
-      .mkString(s"""{"root":$next,"tables":{""", ",", "}}")
     Files.createDirectories(dir(root))
-    Files.write(dir(root).resolve(s"root-$next.json"),
-      body.getBytes(StandardCharsets.UTF_8))
-    val tmp = dir(root).resolve("ROOT_VERSION.tmp")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir(root).resolve("ROOT_VERSION"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // Same cross-JVM protocol as the table commit (IcebergishTable.commit):
+    // CREATE_NEW lets the filesystem arbitrate the root number between two
+    // racing publishers (e.g. two builds sharing a workDir) — each claims
+    // its own root-<n>.json instead of clobbering the other's.
+    def body(n: Int): String = tables.toSeq.sorted
+      .map { case (t, s) => s""""${t.replace("\"", "\\\"")}":$s""" }
+      .mkString(s"""{"root":$n,"tables":{""", ",", "}}")
+    var next = currentRoot(root) + 1
+    var placed = false
+    while (!placed) {
+      try {
+        Files.write(dir(root).resolve(s"root-$next.json"),
+          body(next).getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        placed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      }
+    }
+    // Monotonic swap: never move the root pointer backwards over a racing
+    // publisher's higher root.
+    if (currentRoot(root) < next) {
+      val tmp = dir(root).resolve("ROOT_VERSION.tmp")
+      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, dir(root).resolve("ROOT_VERSION"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     next
   }
 

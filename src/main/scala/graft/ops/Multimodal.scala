@@ -196,6 +196,12 @@ object Multimodal {
     * REAL byte-level decoders.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
+    // Typed up-front guard: the image/audio kernels index slots 0..3 and
+    // video additionally slot 4 — an undersized dim would otherwise surface
+    // as an ArrayIndexOutOfBoundsException inside executors, per row.
+    if (dim < 5)
+      throw new graft.InvalidConfig(
+        s"extractFeatures needs dim >= 5 (4 base stats + video motion energy): $dim")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>

@@ -76,7 +76,12 @@ final class GraftTable(ident: String, path: String)
     // Time travel: .option("snapshot", n) pins the scan to that manifest's
     // file list (expired snapshots fail loudly at planning).
     val snapshot = Option(options.get("snapshot")).map(_.toInt)
-    new GraftScanBuilder(path, tableSchema, dataSchema, bucketSpec, snapshot)
+    // Streaming admission control knobs (readStream options): cap how much
+    // backlog one micro-batch may plan after downtime.
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    val maxSnaps = Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt)
+    new GraftScanBuilder(path, tableSchema, dataSchema, bucketSpec, snapshot,
+      maxFiles, maxSnaps)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -139,7 +144,9 @@ final class GraftWriteBuilder(path: String, bucketSpec: Option[(String, Int)],
 final class GraftScanBuilder(path: String, tableSchema: StructType,
                              dataSchema: StructType,
                              bucketSpec: Option[(String, Int)],
-                             snapshot: Option[Int] = None)
+                             snapshot: Option[Int] = None,
+                             maxFilesPerTrigger: Option[Int] = None,
+                             maxSnapshotsPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -192,7 +199,8 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
 
   override def build(): Scan =
     new GraftScan(path, dataSchema, requiredSchema, bucketSpec,
-      prunedBuckets, dataFilters, snapshot)
+      prunedBuckets, dataFilters, snapshot, maxFilesPerTrigger,
+      maxSnapshotsPerTrigger)
 }
 
 /** A bucket's worth of files, keyed for storage-partitioned joins. */
@@ -208,7 +216,9 @@ final class GraftScan(path: String, dataSchema: StructType,
                       bucketSpec: Option[(String, Int)],
                       prunedBuckets: Option[Set[Int]],
                       dataFilters: Array[Filter],
-                      snapshot: Option[Int] = None)
+                      snapshot: Option[Int] = None,
+                      maxFilesPerTrigger: Option[Int] = None,
+                      maxSnapshotsPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning {
 
   private val needsPart =
@@ -355,7 +365,8 @@ final class GraftScan(path: String, dataSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, dataSchema, readDataSchema,
-      partitionSchema, needsPart, dataFilters)
+      partitionSchema, needsPart, dataFilters, prunedBuckets,
+      maxFilesPerTrigger, maxSnapshotsPerTrigger)
 }
 
 /** Streaming offset = committed snapshot id (-1 = before the table). */
@@ -377,15 +388,97 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
                                   readDataSchema: StructType,
                                   partitionSchema: StructType,
                                   needsPart: Boolean,
-                                  dataFilters: Array[Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+                                  dataFilters: Array[Filter],
+                                  prunedBuckets: Option[Set[Int]] = None,
+                                  maxFilesPerTrigger: Option[Int] = None,
+                                  maxSnapshotsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  /** Trigger.AvailableNow: the run's fixed end target, captured at query
+    * start — the stream drains exactly the snapshots committed before the
+    * trigger (in capped micro-batches), then stops; appends landing
+    * mid-drain wait for the next run. Without this interface Spark 4 falls
+    * back to ONE giant batch, defeating admission control.
+    */
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(IcebergishTable.currentSnapshot(path))
+
+  private def currentTarget: Int = availableNowCap
+    .getOrElse(IcebergishTable.currentSnapshot(path))
 
   override def initialOffset(): Offset = GraftSnapshotOffset(-1)
 
   override def latestOffset(): Offset =
+    GraftSnapshotOffset(currentTarget)
+
+  /** ADMISSION CONTROL: a stream restarted after downtime would otherwise
+    * plan the WHOLE backlog as one micro-batch — unbounded at 100 TB.
+    * `maxFilesPerTrigger` / `maxSnapshotsPerTrigger` (readStream options)
+    * cap each batch's end offset; a batch always advances by at least one
+    * snapshot so the stream makes progress even when a single snapshot
+    * exceeds the file budget. The reference bounds the same backlog with
+    * its bounded channels + prefetch_count backpressure
+    * (/root/reference/src/config.rs:114, graph_loader.rs:391).
+    *
+    * Spark hands the source's own trigger cap back through the ReadLimit of
+    * the two-argument `latestOffset`; both caps are also honored directly
+    * from the options there, so composite limits need no special casing.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset =
     GraftSnapshotOffset(IcebergishTable.currentSnapshot(path))
+
+  /** Bounded end offset: walk snapshots forward from `start`, accumulating
+    * each manifest's ADDED file count, and stop before the caps are
+    * exceeded (always ≥ 1 snapshot of progress). Metadata-only — one
+    * manifest read per candidate snapshot.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftSnapshotOffset].snapshot
+    val cur = currentTarget
+    if (cur <= s) return GraftSnapshotOffset(s)
+    val fileCap: Option[Int] = (maxFilesPerTrigger, limit) match {
+      case (Some(n), _) => Some(n)
+      case (None, mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles) =>
+        Some(mf.maxFiles())
+      case _ => None
+    }
+    val snapCap = maxSnapshotsPerTrigger
+    if (fileCap.isEmpty && snapCap.isEmpty) return GraftSnapshotOffset(cur)
+    var end = s
+    var files = 0
+    var prev: Set[String] =
+      if (s < 0) Set.empty
+      else IcebergishTable.snapshotFilesOpt(path, s)
+        .getOrElse(throw new graft.SnapshotNotFound(path, s)).toSet
+    var done = false
+    while (!done && end < cur) {
+      val nextFiles = IcebergishTable.snapshotFilesOpt(path, end + 1)
+        .getOrElse(throw new graft.SnapshotNotFound(path, end + 1)).toSet
+      val added = (nextFiles -- prev).size
+      val wouldExceed =
+        fileCap.exists(c => files + added > c) ||
+          snapCap.exists(c => end + 1 - s > c)
+      if (wouldExceed && end > s) done = true
+      else {
+        end += 1; files += added; prev = nextFiles
+        // A single over-budget snapshot still commits alone (progress
+        // guarantee), but nothing more rides with it.
+        if (fileCap.exists(files >= _) || snapCap.exists(end - s >= _))
+          done = true
+      }
+    }
+    GraftSnapshotOffset(end)
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftSnapshotOffset(json.trim.toInt)
@@ -419,6 +512,12 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
     val added = after.filterNot(before)
     added
       .groupBy(IcebergishTable.bucketOfPath)
+      // The ScanBuilder is shared between batch and streaming: pushFilters
+      // consumes part-column predicates as fully-handled (non-residual), so
+      // the stream MUST honor the same pruning — dropping it here would
+      // silently return rows from every bucket if Spark ever exercises
+      // pushdown on a streaming scan.
+      .filter { case (b, _) => prunedBuckets.forall(_.contains(b)) }
       .toSeq.sortBy(_._1)
       .map { case (b, rels) =>
         val partValues: InternalRow =

@@ -139,6 +139,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("admission control: a backlog of snapshots drains in multiple capped micro-batches, exactly-once") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-mbs-ac").toString
+    val table = s"$base/edges"
+    val saved = Seq("spark.sql.catalog.graft_ac", "spark.sql.catalog.graft_ac.warehouse")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.catalog.graft_ac",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ac.warehouse", base)
+    try {
+      // Downtime backlog: four committed snapshots before the stream starts.
+      (0 until 4).foreach { i =>
+        graft.streaming.StreamingKg.appendBatch(
+          Seq(Triple(s"S$i", "p", s"O$i", s"u$i", 1.0)).toDF, table, i.toLong, 4)
+      }
+      val out = s"$base/out"
+      val q = spark.readStream
+        .option("maxSnapshotsPerTrigger", "1")
+        .table("graft_ac.edges")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Exactly-once totals across the split batches…
+      val got = spark.read.parquet(out).select("subj").as[String].collect()
+      assert(got.sorted.toSeq == Seq("S0", "S1", "S2", "S3"), s"got ${got.toSeq}")
+      // …and the backlog was NOT one giant batch: one data batch per
+      // snapshot (the progress log records each micro-batch's row count).
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 4,
+        s"expected 4 capped micro-batches, got $dataBatches: " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+
+      // maxFilesPerTrigger variant over the same table: 4 snapshots × 1
+      // file each with a budget of 2 files per trigger → 2 data batches.
+      val out2 = s"$base/out2"
+      val q2 = spark.readStream
+        .option("maxFilesPerTrigger", "2")
+        .table("graft_ac.edges")
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", s"$base/ckpt2")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      assert(spark.read.parquet(out2).count() == 4)
+      val dataBatches2 = q2.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches2 == 2,
+        s"expected 2 file-capped micro-batches, got $dataBatches2: " +
+          q2.recentProgress.map(_.numInputRows).mkString(","))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("writeStream.toTable: native DSv2 streaming sink appends exactly-once") {
     import java.nio.file.Files
     import spark.implicits._
