@@ -139,61 +139,55 @@ object IcebergishTable {
     }
   }
 
-  private def commit(table: String, snapshot: Int, schemaJson: String,
+  /** Commit a snapshot with an EXPLICIT file delta — real Iceberg
+    * optimistic concurrency. The new manifest's file list is
+    *
+    *   parent.files.filterNot(dropParent) ++ added      (replaceAll drops
+    *                                                     every parent file)
+    *
+    * where `added` are table-relative paths this writer alone produced
+    * (staged + promoted, or freshly written). Because each commit records
+    * only its own delta over a concrete parent manifest, two writers
+    * appending CONCURRENTLY — other threads or other JVMs — are both safe:
+    * the manifest file is claimed with CREATE_NEW (the filesystem
+    * arbitrates snapshot numbers), and a writer that loses the race simply
+    * re-merges onto the winner's manifest and tries the next number. The
+    * reference's whole design is concurrent producers feeding one load
+    * (/root/reference/src/sharding.rs:195-288); this is the commit-protocol
+    * side of that contract.
+    *
+    * `expectedParent` (compaction/maintenance): abort with a typed
+    * [[graft.CommitConflict]] if any other commit landed since the caller
+    * read the table — a replaceAll commit merged onto an unseen parent
+    * would silently drop that writer's files.
+    *
+    * The per-table monitor is an in-JVM fast path only (saves CAS churn
+    * between threads and keeps streamCommit's promote window serialized per
+    * query); correctness across JVMs comes from the CREATE_NEW claim.
+    */
+  private def commit(table: String, schemaJson: String,
                      parts: Seq[Int], rows: Long,
                      bucketKey: Option[(String, Int)] = None,
-                     epochUpdate: Map[String, Long] = Map.empty): Unit =
-    // Per-table monitor (same one streamCommit takes): protects the
-    // MANIFEST CHAIN — two in-JVM committers racing here would both read
-    // VERSION=n and both write snap-(n+1), one clobbering the other.
-    // It does NOT make concurrent batch WRITES to one table atomic: the
-    // file list here is directory-derived, so a commit landing while
-    // another writer's job-commit is mid-promotion would capture a torn
-    // file set. Batch writers stay one-at-a-time per table by contract
-    // (Iceberg's optimistic-concurrency analog); the streaming path is
-    // safe because its files are staged and promoted INSIDE this lock.
+                     epochUpdate: Map[String, Long] = Map.empty,
+                     added: Seq[String] = Seq.empty,
+                     dropParent: String => Boolean = _ => false,
+                     replaceAll: Boolean = false,
+                     expectedParent: Option[Int] = None): Int =
     commitLocks.computeIfAbsent(table, _ => new Object).synchronized {
-      commitLocked(table, snapshot, schemaJson, parts, rows, bucketKey,
-        epochUpdate)
+      commitLocked(table, schemaJson, parts, rows, bucketKey,
+        epochUpdate, added, dropParent, replaceAll, expectedParent)
     }
 
-  private def commitLocked(table: String, requested: Int, schemaJson: String,
+  private def commitLocked(table: String, schemaJson: String,
                            parts: Seq[Int], rows: Long,
                            bucketKey: Option[(String, Int)],
-                           epochUpdate: Map[String, Long]): Unit = {
-    // Callers compute currentSnapshot+1 BEFORE taking the lock; if another
-    // writer committed in between, their number is stale — bump to the
-    // next free one (the manifest content is directory-derived here inside
-    // the lock, so it already reflects the merged file set).
-    val snapshot = math.max(requested, currentSnapshot(table) + 1)
+                           epochUpdate: Map[String, Long],
+                           added: Seq[String],
+                           dropParent: String => Boolean,
+                           replaceAll: Boolean,
+                           expectedParent: Option[Int]): Int = {
     val d = dir(table)
     Files.createDirectories(d)
-    // Snapshot manifest records the exact file list — Iceberg-style
-    // time travel: readSnapshot(n) sees precisely snapshot n's files.
-    val fileList = listDataFiles(table)
-    val files = fileList
-      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    // File sizes ride the manifest (index-aligned with "files"): scan
-    // planning then needs ZERO filesystem calls — Iceberg's metadata-only
-    // planning. Data files are immutable once written, so sizes carry
-    // forward from the previous manifest and only files NEW to this commit
-    // get statted — a streaming sink's per-epoch commit stays O(new files),
-    // not O(table history).
-    val curSnap = currentSnapshot(table)
-    // ONE read of the current manifest feeds both the size carry-forward
-    // and the epoch carry-forward below (it was read three times before —
-    // manifests are proportional to the file list, so this is the commit
-    // path's metadata I/O).
-    val curJson: Option[String] =
-      if (curSnap < 0) None
-      else try Some(new String(Files.readAllBytes(
-        d.resolve(s"snap-$curSnap.json")), StandardCharsets.UTF_8))
-      catch { case _: java.io.IOException => None }
-    val prevSizes: Map[String, Long] = curJson
-      .flatMap(j => sizesFromJson(j, table, curSnap))
-      .map(_.toMap).getOrElse(Map.empty)
-    val sizes = fileList.map(f =>
-      prevSizes.getOrElse(f, Files.size(d.resolve(f))))
     // bucket_key/buckets record the partition spec (hash-bucket transform):
     // the DSv2 catalog reports it to Catalyst so bucket-key joins between
     // co-bucketed tables plan storage-partitioned (zero Exchange).
@@ -205,49 +199,100 @@ object IcebergishTable {
       .map { case (k, n) =>
         s""""bucket_key":"${esc(k)}","buckets":$n,"bucket_fn":"$BucketFn",""" }
       .getOrElse("")
-    // Streaming epoch high-waters ride the manifest (carried forward on
-    // EVERY commit): the VERSION swap is then the single atomic point that
-    // commits a micro-batch's files AND records its epoch — no window where
-    // one is durable without the other (see streamCommit).
-    val epochs =
-      curJson.map(epochsFromJson).getOrElse(Map.empty) ++ epochUpdate
-    val epochMeta =
-      if (epochs.isEmpty) ""
-      else epochs.toSeq.sorted
-        .map { case (q, e) => s""""${esc(q)}":$e""" }
-        .mkString("\"epochs\":{", ",", "},")
-    def manifestFor(snap: Int): String =
-      s"""{"snapshot":$snap,"rows":$rows,$bucketMeta$epochMeta"partitions":[${parts.sorted.mkString(",")}],
-         |"sizes":[${sizes.mkString(",")}],
-         |"files":[${files.mkString(",")}],
-         |"schema":$schemaJson}""".stripMargin.replace("\n", "")
-    // Optimistic cross-JVM chain safety (Iceberg's CAS-on-metadata analog):
-    // the manifest is created with CREATE_NEW — the filesystem arbitrates
-    // the snapshot number, so a racing writer in ANOTHER JVM (which this
-    // JVM's monitor cannot see) simply claims the next number instead of
-    // clobbering ours.
-    var snap = snapshot
-    var placed = false
-    while (!placed) {
+    // `base` = the last VALID manifest we merge deltas onto; `target` = the
+    // snapshot number we are trying to claim. They can diverge: a TORN
+    // colliding manifest (a crashed writer that never swapped VERSION — its
+    // files are orphans by definition) is stepped past without merging,
+    // while a VALID colliding manifest becomes the new merge base.
+    var base = currentSnapshot(table)
+    var target = base + 1
+    var committed = -1
+    while (committed < 0) {
+      expectedParent.foreach { exp =>
+        if (base != exp)
+          throw new graft.CommitConflict(table, exp, base)
+      }
+      // ONE read of the parent manifest feeds the file merge, the size
+      // carry-forward AND the epoch carry-forward.
+      val parentJson: Option[String] =
+        if (base < 0) None
+        else Some(
+          try new String(Files.readAllBytes(d.resolve(s"snap-$base.json")),
+            StandardCharsets.UTF_8)
+          catch {
+            case _: java.io.IOException =>
+              throw new graft.ManifestCorrupted(table, base,
+                "parent manifest unreadable during commit")
+          })
+      val parentFiles: Seq[String] = parentJson
+        .map(j => manifestFilesStrict(table, base, j)).getOrElse(Seq.empty)
+      val kept = if (replaceAll) Seq.empty else parentFiles.filterNot(dropParent)
+      // Snapshot manifest records the exact file list — Iceberg-style time
+      // travel: readSnapshot(n) sees precisely snapshot n's files.
+      val fileList = (kept ++ added).distinct.sorted
+      // File sizes ride the manifest (index-aligned with "files"): scan
+      // planning then needs ZERO filesystem calls — Iceberg's metadata-only
+      // planning. Data files are immutable once written, so sizes carry
+      // forward from the parent manifest and only this commit's OWN files
+      // get statted — a streaming sink's per-epoch commit stays
+      // O(new files), not O(table history).
+      val prevSizes: Map[String, Long] = parentJson
+        .flatMap(j => sizesFromJson(j, table, base))
+        .map(_.toMap).getOrElse(Map.empty)
+      val sizes = fileList.map(f =>
+        prevSizes.getOrElse(f, Files.size(d.resolve(f))))
+      // Streaming epoch high-waters ride the manifest (carried forward on
+      // EVERY commit): the VERSION swap is then the single atomic point
+      // that commits a micro-batch's files AND records its epoch — no
+      // window where one is durable without the other (see streamCommit).
+      val epochs =
+        parentJson.map(epochsFromJson).getOrElse(Map.empty) ++ epochUpdate
+      val epochMeta =
+        if (epochs.isEmpty) ""
+        else epochs.toSeq.sorted
+          .map { case (q, e) => s""""${esc(q)}":$e""" }
+          .mkString("\"epochs\":{", ",", "},")
+      val files = fileList
+        .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      val manifest =
+        s"""{"snapshot":$target,"rows":$rows,$bucketMeta$epochMeta"partitions":[${parts.sorted.mkString(",")}],
+           |"sizes":[${sizes.mkString(",")}],
+           |"files":[${files.mkString(",")}],
+           |"schema":$schemaJson}""".stripMargin.replace("\n", "")
       try {
-        Files.write(d.resolve(s"snap-$snap.json"),
-          manifestFor(snap).getBytes(StandardCharsets.UTF_8),
+        Files.write(d.resolve(s"snap-$target.json"),
+          manifest.getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
-        placed = true
+        committed = target
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => snap += 1
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // Lost the race. A VALID colliding manifest is a completed
+          // concurrent commit — it becomes the new merge base (VERSION may
+          // lag the winner's swap, so merge from the manifest directly). A
+          // TORN one is a crashed writer that never swapped VERSION (its
+          // files are unreferenced orphans): step the number past it
+          // without merging — never clobber, never inherit garbage.
+          val collided = d.resolve(s"snap-$target.json")
+          val valid =
+            try { manifestFilesStrict(table, target,
+              new String(Files.readAllBytes(collided), StandardCharsets.UTF_8))
+              true
+            } catch { case _: Exception => false }
+          if (valid) base = target
+          target += 1
       }
     }
     // Atomic pointer swap = Iceberg's metadata commit. Monotonic repair:
     // if a racing swap with a HIGHER snapshot landed between our write and
     // a stale re-read, never move the pointer backwards.
-    if (currentSnapshot(table) < snap) {
+    if (currentSnapshot(table) < committed) {
       val tmp = d.resolve("VERSION.tmp")
-      Files.write(tmp, snap.toString.getBytes(StandardCharsets.UTF_8))
+      Files.write(tmp, committed.toString.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, d.resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
+    committed
   }
 
   /** Reject a write whose bucket layout disagrees with the table's
@@ -283,34 +328,96 @@ object IcebergishTable {
     """"bucket_fn":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
   }
 
+  /** Stage `df` (already carrying [[PartCol]]) into a hidden per-write
+    * staging directory, then promote each file into its bucket directory —
+    * the batch twin of the streaming sink's stage-then-promote. This is
+    * what gives every batch write an EXPLICIT file list for its manifest
+    * (commit records exactly these paths + the parent's), and it keeps a
+    * concurrent writer's in-flight job files out of everyone else's
+    * commits: nothing under `data/_staging` is ever visible to reads or
+    * manifests until ITS writer promotes it.
+    *
+    * `wipeTouched` = dynamic-partition-overwrite semantics: before
+    * promoting, the bucket directories this write actually produced data
+    * for are cleared (plus `alsoReplace` buckets the caller is rewriting
+    * even if they came out empty).
+    *
+    * Returns (promoted table-relative paths, touched bucket ids). A crash
+    * between promote and commit leaves orphans that no manifest references
+    * — invisible to reads; `compact` + [[expireSnapshots]] reclaim space.
+    */
+  private def stagePromote(df: DataFrame, table: String,
+                           wipeTouched: Boolean,
+                           alsoReplace: Seq[Int] = Seq.empty)
+      : (Seq[String], Seq[Int]) = {
+    val d = dir(table)
+    val uid = java.util.UUID.randomUUID.toString.take(12)
+    val staging = d.resolve("data").resolve("_staging").resolve(s"batch-$uid")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(PartCol)
+      .parquet(staging.toString)
+    val staged: Seq[(Int, Path)] =
+      if (!Files.exists(staging)) Seq.empty
+      else Files.walk(staging).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .filterNot(p => isHiddenPath(staging.relativize(p)))
+        .map { p =>
+          val rel = staging.relativize(p).toString
+          (bucketOfPath(rel), p)
+        }
+        .toSeq
+    val touched = (staged.map(_._1) ++ alsoReplace).distinct.sorted
+    if (wipeTouched) deletePartitionDirs(table, touched)
+    val promoted = staged.map { case (b, src) =>
+      val dst = d.resolve("data").resolve(s"$PartCol=$b")
+        .resolve(src.getFileName.toString)
+      Files.createDirectories(dst.getParent)
+      // Spark part-file names carry the write job's UUID — unique across
+      // concurrent writers, so promotes never collide.
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      d.relativize(dst).toString
+    }
+    // Staging tree is empty now — remove it (reverse walk: dirs last).
+    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    (promoted, touched)
+  }
+
   /** Write `df` hash-bucketed on `keyCol` into `numParts` partitions,
     * creating a new snapshot. `mode` Overwrite replaces the whole table
-    * (including any compaction tombstones — it is a re-create); Append adds
-    * files to existing buckets (new snapshot either way) and must match the
+    * (including any compaction tombstones — it is a re-create, EXCLUSIVE
+    * with every other writer by nature: the data directory is wiped);
+    * Append stages + promotes new files beside existing ones and commits
+    * an explicit file delta — safe under concurrent appends (threads or
+    * JVMs), per the commit protocol above. Appends must match the
     * committed bucket spec.
     */
   def write(df: DataFrame, table: String, keyCol: String, numParts: Int,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
-    if (mode == SaveMode.Append) requireSpecMatch(table, keyCol, numParts)
     // Repartition on the bucket column first: without it every input
     // partition writes a file into every bucket directory (numParts ×
     // inputParts tiny files — measured 7× slower at 2.8M rows).
     val withPart = df.withColumn(PartCol, partExpr(keyCol, numParts))
       .repartition(numParts, col(PartCol))
-    withPart.write
-      .mode(mode)
-      .partitionBy(PartCol)
-      .parquet(dir(table).resolve("data").toString)
-    // Overwrite is a re-create: clear the tombstone ledger only AFTER the
-    // write succeeded (clearing first would resurrect compacted-away
-    // duplicates into directory-derived reads if the job failed).
-    if (mode != SaveMode.Append) writeTombstones(table, Set.empty)
-    val prior = currentSnapshot(table)
-    val rows = 0L // row count recorded by the checkpoint layer, not here
-    commit(table, prior + 1,
-      withPart.schema.json, 0 until numParts, rows,
-      bucketKey = Some((keyCol, numParts)))
-    if (mode != SaveMode.Append) {
+    if (mode == SaveMode.Append) {
+      requireSpecMatch(table, keyCol, numParts)
+      val (added, _) = stagePromote(withPart, table, wipeTouched = false)
+      commit(table, withPart.schema.json, 0 until numParts, 0L,
+        bucketKey = Some((keyCol, numParts)), added = added)
+    } else {
+      withPart.write
+        .mode(mode)
+        .partitionBy(PartCol)
+        .parquet(dir(table).resolve("data").toString)
+      // Overwrite is a re-create: clear the tombstone ledger only AFTER the
+      // write succeeded (clearing first would resurrect compacted-away
+      // duplicates if the job failed).
+      writeTombstones(table, Set.empty)
+      val prior = currentSnapshot(table)
+      // The wiped-and-rewritten directory holds exactly this write's files.
+      commit(table, withPart.schema.json, 0 until numParts, 0L,
+        bucketKey = Some((keyCol, numParts)),
+        added = listDataFiles(table), replaceAll = true)
       // Drop the overwritten snapshots' manifests AFTER the new commit is
       // durable — their data files are gone, so a later pinned read must
       // fail loudly (SnapshotNotFound), not return silently-empty results.
@@ -323,48 +430,40 @@ object IcebergishTable {
   }
 
   /** Write a DataFrame that is ALREADY hash-partitioned on `PartCol` (each
-    * task holds exactly one bucket): dynamic partition overwrite with no
-    * extra exchange — the single-shuffle fast path's sink. `keyCol` records
-    * the bucket spec in the manifest (the caller bucketed on it upstream).
+    * task holds exactly one bucket): dynamic-partition-overwrite semantics
+    * with no extra exchange — the single-shuffle fast path's sink. `keyCol`
+    * records the bucket spec in the manifest (the caller bucketed on it
+    * upstream). `replaceParts` marks buckets the caller is REWRITING even
+    * if the new input yields zero rows for them (their parent-manifest
+    * files must leave the new manifest, or the commit would reference
+    * files the caller already cleared).
     */
   def writePrePartitioned(df: DataFrame, table: String, numParts: Int,
-                          keyCol: String = ""): Unit = {
+                          keyCol: String = "",
+                          replaceParts: Seq[Int] = Seq.empty): Unit = {
     if (keyCol.nonEmpty) requireSpecMatch(table, keyCol, numParts)
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      df.write
-        .mode(SaveMode.Overwrite)
-        .partitionBy(PartCol)
-        .parquet(dir(table).resolve("data").toString)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
-    commit(table, currentSnapshot(table) + 1, df.schema.json,
-      0 until numParts, 0L,
-      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None)
+    val (added, touched) =
+      stagePromote(df, table, wipeTouched = true, alsoReplace = replaceParts)
+    val touchedSet = touched.toSet
+    commit(table, df.schema.json, 0 until numParts, 0L,
+      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None,
+      added = added,
+      dropParent = f => touchedSet.contains(bucketOfPath(f)))
   }
 
   /** APPEND a DataFrame that is already hash-partitioned on `PartCol` into
     * the bucket directories (new files beside existing ones), committing a
-    * new snapshot. The streaming micro-batch sink's unit: file-level
-    * atomicity comes from the Hadoop output committer (_temporary staging),
-    * replay protection from the caller's batch-ack log.
+    * new snapshot with an explicit file delta — safe under concurrent
+    * appends. The streaming micro-batch sink's unit: replay protection
+    * comes from the caller's batch-ack log.
     */
   def appendPrePartitioned(df: DataFrame, table: String, numParts: Int,
                            keyCol: String = ""): Unit = {
     if (keyCol.nonEmpty) requireSpecMatch(table, keyCol, numParts)
-    df.write
-      .mode(SaveMode.Append)
-      .partitionBy(PartCol)
-      .parquet(dir(table).resolve("data").toString)
-    commit(table, currentSnapshot(table) + 1, df.schema.json,
-      0 until numParts, 0L,
-      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None)
+    val (added, _) = stagePromote(df, table, wipeTouched = false)
+    commit(table, df.schema.json, 0 until numParts, 0L,
+      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None,
+      added = added)
   }
 
   /** Overwrite only the listed partitions (idempotent resume unit). */
@@ -375,22 +474,13 @@ object IcebergishTable {
       .withColumn(PartCol, partExpr(keyCol, numParts))
       .where(col(PartCol).isin(parts: _*))
       .repartition(math.max(1, parts.size), col(PartCol))
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      withPart.write
-        .mode(SaveMode.Overwrite)
-        .partitionBy(PartCol)
-        .parquet(dir(table).resolve("data").toString)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
-    commit(table, currentSnapshot(table) + 1, withPart.schema.json,
-      0 until numParts, 0L, bucketKey = Some((keyCol, numParts)))
+    val (added, touched) =
+      stagePromote(withPart, table, wipeTouched = true, alsoReplace = parts)
+    val touchedSet = touched.toSet
+    commit(table, withPart.schema.json, 0 until numParts, 0L,
+      bucketKey = Some((keyCol, numParts)),
+      added = added,
+      dropParent = f => touchedSet.contains(bucketOfPath(f)))
   }
 
   /** Parsed current-snapshot manifest metadata for the DSv2 catalog:
@@ -507,18 +597,19 @@ object IcebergishTable {
       .filter(_.contains(s"-q$queryId-"))
       .foreach(f => Files.deleteIfExists(dir(table).resolve(f)))
     val (schemaJson, spec) = manifestMeta(table)
-    staged.foreach { case (b, rel) =>
+    val promoted = staged.map { case (b, rel) =>
       val src = dir(table).resolve(rel)
       val dst = dir(table).resolve("data").resolve(s"$PartCol=$b")
         .resolve(src.getFileName.toString)
       Files.createDirectories(dst.getParent)
       Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      dir(table).relativize(dst).toString
     }
     val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
       .getOrElse(staged.map(_._1).distinct.sorted)
-    commit(table, cur + 1, schemaJson, parts, 0L, bucketKey = spec,
-      epochUpdate = Map(queryId -> epochId))
+    commit(table, schemaJson, parts, 0L, bucketKey = spec,
+      epochUpdate = Map(queryId -> epochId), added = promoted)
     // The epoch is committed: this query's staging area is dead weight
     // (earlier epochs' leftovers included — micro-batches are serial).
     sweepStaging()
@@ -647,8 +738,23 @@ object IcebergishTable {
     val withPart = dataSchema
       .add(org.apache.spark.sql.types.StructField(PartCol,
         org.apache.spark.sql.types.IntegerType, nullable = false))
-    commit(table, 0, withPart.json, 0 until numParts, 0L,
+    commit(table, withPart.json, 0 until numParts, 0L,
       bucketKey = Some((keyCol, numParts)))
+  }
+
+  /** Commit files ALREADY present under the bucket directories as one
+    * append delta (schema + bucket spec carried from the current manifest).
+    * The cross-JVM commit-race harness drives the commit protocol through
+    * this without needing a SparkSession in the child processes; returns
+    * the committed snapshot id.
+    */
+  private[graft] def commitAddedFiles(table: String, added: Seq[String],
+                                      expectedParent: Option[Int] = None): Int = {
+    val (schemaJson, spec) = manifestMeta(table)
+    val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
+      .getOrElse(added.map(bucketOfPath).distinct.sorted)
+    commit(table, schemaJson, parts, 0L, bucketKey = spec, added = added,
+      expectedParent = expectedParent)
   }
 
   def exists(table: String): Boolean =
@@ -720,30 +826,45 @@ object IcebergishTable {
         Some((k, n))
       case None => if (keyCol.nonEmpty) Some((keyCol, numParts)) else None
     }
-    val prevFiles = listDataFiles(table).toSet
-    val current = read(spark, table)
+    // The compaction input is the CURRENT MANIFEST's file set (pinned):
+    // expectedParent aborts the commit with a typed CommitConflict if any
+    // other writer lands in between — a replace-all commit merged onto an
+    // unseen parent would silently drop that writer's files.
+    val startSnap = currentSnapshot(table)
+    if (startSnap < 0) throw new graft.TableNotFound(table)
+    val prevFiles = snapshotFilesOpt(table, startSnap).getOrElse(
+      throw new graft.ManifestCorrupted(table, startSnap,
+        "VERSION points at a missing manifest")).toSet
+    val current = readSnapshot(spark, table, startSnap)
       .repartition(numParts, col(PartCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     current.count() // materialize BEFORE the inputs are superseded
+    // Fresh files land beside the old ones (the old files stay on disk —
+    // deleting them would break older snapshots' time travel).
+    val (fresh, _) =
+      try stagePromote(current, table, wipeTouched = false)
+      finally current.unpersist(blocking = false)
     try {
-      // Fresh files land beside the old ones (append mode — deleting the
-      // old files would break older snapshots' time travel).
-      current.write
-        .mode(SaveMode.Append)
-        .partitionBy(PartCol)
-        .parquet(dir(table).resolve("data").toString)
-    } finally current.unpersist(blocking = false)
-    // Supersede the inputs, then commit: listDataFiles now yields exactly
-    // the fresh files, so the new manifest (and every later directory-based
-    // commit) excludes the compacted-away history.
+      // Partition list from the COMMITTED spec when one exists: numParts
+      // shapes the rewrite's shuffle only (PartCol values are unchanged by
+      // the repartition), it is not a layout change.
+      commit(table, current.schema.json,
+        0 until spec.map(_._2).getOrElse(numParts), 0L,
+        bucketKey = spec, added = fresh, replaceAll = true,
+        expectedParent = Some(startSnap))
+    } catch {
+      case e: graft.CommitConflict =>
+        // Abort cleanly: the fresh rewrite never entered any manifest —
+        // delete it so the loser leaves no orphans behind.
+        fresh.foreach(f => Files.deleteIfExists(dir(table).resolve(f)))
+        throw e
+    }
+    // Supersede the inputs only AFTER the commit is durable (tombstoning
+    // first would mark still-current files dead across a crash window).
+    // Tombstones are pure space-reclaim bookkeeping now — commits no longer
+    // consult them — and [[expireSnapshots]] deletes them once no retained
+    // snapshot references them.
     writeTombstones(table, tombstones(table) ++ prevFiles)
-    // Partition list from the COMMITTED spec when one exists: numParts
-    // shapes the rewrite's shuffle only (PartCol values are unchanged by
-    // the repartition), it is not a layout change.
-    commit(table, currentSnapshot(table) + 1,
-      read(spark, table).schema.json,
-      0 until spec.map(_._2).getOrElse(numParts), 0L,
-      bucketKey = spec)
   }
 
   /** Physically delete tombstoned files referenced by NO retained snapshot

@@ -116,8 +116,12 @@ object GraphOut {
       // skips buckets that receive zero rows from the new input, and those
       // stale rows would otherwise be re-counted as current.
       IcebergishTable.deletePartitionDirs(table, group)
+      // replaceParts = the WHOLE group: a rewritten bucket that came out
+      // empty must still leave the parent manifest (its stale files were
+      // just cleared above).
       timed("write")(
-        IcebergishTable.writePrePartitioned(deduped, table, numParts, keyCol))
+        IcebergishTable.writePrePartitioned(deduped, table, numParts, keyCol,
+          replaceParts = group))
       val wallMs = (System.nanoTime() - t0) / 1000000L
       // Aggregates over an entirely empty group plan come back null.
       val m = timed("lineage-metrics")(obs.get)

@@ -128,6 +128,28 @@ final class BucketSpecMismatch(table: String, expected: String, got: String)
     extends GraftError(
       s"bucket spec mismatch for $table: table is bucketed by $expected, write supplied $got")
 
+/** A replace-type commit (compaction, maintenance rewrite) found that
+  * another writer committed since it pinned its input snapshot. Committing
+  * anyway would merge a replace-all file list onto an unseen parent and
+  * silently drop the other writer's files — so the loser aborts cleanly
+  * and retries against the new current snapshot (Iceberg's
+  * CommitFailedException analog). Plain concurrent APPENDS never raise
+  * this: their deltas merge commutatively under the commit CAS.
+  */
+final class CommitConflict(table: String, expected: Int, found: Int)
+    extends GraftError(
+      s"concurrent commit on $table: expected parent snapshot $expected, found $found")
+
+/** A media payload failed byte-level decode (truncated container, bad
+  * magic, unsupported codec parameters). At 10^9-row media-table scale a
+  * single corrupt blob must be COUNTED, not kill the job: the batched
+  * extract path catches this variant per row and routes the offender to a
+  * quarantine side-channel (the media twin of the JSONL source's
+  * PERMISSIVE-mode quarantine) while the batch completes.
+  */
+final class MediaDecodeFailed(mediaId: Long, kind: String, detail: String)
+    extends GraftError(s"media $mediaId ($kind) failed to decode: $detail")
+
 /** One row per completed partition of a stage — the Spark analog of the
   * reference's batch-acknowledgement resume protocol
   * (/root/reference/src/sharding.rs:237-239, :270-271): a partition is

@@ -43,6 +43,12 @@ object Multimodal {
   final case class MediaFeature(media_id: Long, kind: String,
                                 feature: Array[Float])
 
+  /** Per-row outcome of the quarantining extract path: exactly one of
+    * `feature` (success) or `error` (decode failure detail) is set.
+    */
+  final case class MediaResult(media_id: Long, kind: String,
+                               feature: Array[Float], error: String)
+
   final case class Frame(media_id: Long, frame_idx: Int,
                          frame_bytes: Array[Byte])
 
@@ -209,15 +215,65 @@ object Multimodal {
       val codecReady = true
       rows.map { r =>
         require(codecReady)
-        val feat = r.kind match {
-          case "image" => imageFeatures(r.payload, dim)
-          case "audio" => audioFeatures(r.payload, dim)
-          case _ => videoFeatures(r.payload, dim)
-        }
-        MediaFeature(r.media_id, r.kind, feat)
+        MediaFeature(r.media_id, r.kind, decodeOne(r, dim))
       }
     }
   }
+
+  /** One row's feature kernel with decode failures normalized to the typed
+    * [[graft.MediaDecodeFailed]] (the codecs raise bare
+    * IllegalArgumentExceptions at the byte level).
+    */
+  private def decodeOne(r: MediaRow, dim: Int): Array[Float] =
+    try r.kind match {
+      case "image" => imageFeatures(r.payload, dim)
+      case "audio" => audioFeatures(r.payload, dim)
+      case _ => videoFeatures(r.payload, dim)
+    } catch {
+      case e: IllegalArgumentException =>
+        throw new graft.MediaDecodeFailed(r.media_id, r.kind,
+          Option(e.getMessage).getOrElse(e.toString))
+      case e: java.nio.BufferUnderflowException =>
+        throw new graft.MediaDecodeFailed(r.media_id, r.kind,
+          s"truncated container: $e")
+    }
+
+  /** Quarantining twin of [[extractFeatures]] — the 10^9-row shape: a
+    * corrupt payload becomes a counted [[MediaResult]] row with `error`
+    * set (and `feature` null) instead of failing the batch; healthy rows
+    * stream through untouched. Split the outcome with [[features]] /
+    * [[quarantined]] — one pass, no driver round-trip, the media twin of
+    * the JSONL source's PERMISSIVE-mode quarantine (F1).
+    */
+  def extractFeaturesQuarantined(media: Dataset[MediaRow],
+                                 dim: Int = 16): Dataset[MediaResult] = {
+    if (dim < 5)
+      throw new graft.InvalidConfig(
+        s"extractFeatures needs dim >= 5 (4 base stats + video motion energy): $dim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try MediaResult(r.media_id, r.kind, decodeOne(r, dim), null)
+        catch {
+          case e: graft.MediaDecodeFailed =>
+            MediaResult(r.media_id, r.kind, null, e.getMessage)
+        }
+      }
+    }
+  }
+
+  /** Successfully-decoded rows of a quarantining extract. */
+  def features(results: Dataset[MediaResult]): Dataset[MediaFeature] = {
+    val spark = results.sparkSession
+    import spark.implicits._
+    results.filter(_.error == null)
+      .map(r => MediaFeature(r.media_id, r.kind, r.feature))
+  }
+
+  /** Quarantined rows of a quarantining extract (id, kind, decode error). */
+  def quarantined(results: Dataset[MediaResult]): Dataset[MediaResult] =
+    results.filter(_.error != null)
 
   /** Resize: REAL nearest-neighbor pixel resample + re-encode — images as
     * BMP, video as per-frame resample + AVI re-encode; audio passes

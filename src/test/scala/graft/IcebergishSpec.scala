@@ -389,6 +389,111 @@ class IcebergishSpec extends SparkSpec {
     assert(IcebergishTable.read(spark, table).count() == 9)
   }
 
+  test("multi-writer: concurrent threads appending to ONE table all survive, union visible") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-mw").toString + "/t"
+    IcebergishTable.write(
+      (0 until 8).map(i => (s"seed$i", i.toLong)).toDF("k", "v"), table, "k", 4)
+    val s0 = IcebergishTable.currentSnapshot(table)
+    // 4 writers × 2 appends each, racing through the PUBLIC append path.
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try (0 until 2).foreach { i =>
+          IcebergishTable.write(
+            Seq((s"w$w-$i", (w * 10 + i).toLong)).toDF("k", "v"),
+            table, "k", 4, org.apache.spark.sql.SaveMode.Append)
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent append failed: ${errors.peek()}")
+    // Every commit survived: 8 appends → 8 new CONTIGUOUS snapshots…
+    assert(IcebergishTable.currentSnapshot(table) == s0 + 8)
+    // …the union of all writers' rows is visible…
+    val ks = IcebergishTable.read(spark, table).select("k").as[String]
+      .collect().toSet
+    val expected = (0 until 8).map(i => s"seed$i").toSet ++
+      (for (w <- 0 until 4; i <- 0 until 2) yield s"w$w-$i")
+    assert(ks == expected, s"missing: ${expected -- ks}")
+    // …no torn manifest: every snapshot in the chain parses, every file the
+    // final manifest references exists on disk, and file lists only GROW
+    // along the chain (appends never drop a predecessor's files).
+    val chains = (s0 to s0 + 8).map(s =>
+      IcebergishTable.snapshotFilesOpt(table, s).getOrElse(
+        fail(s"snapshot $s unreadable")).toSet)
+    chains.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), s"append dropped files: ${a -- b}")
+    }
+    chains.last.foreach(f => assert(
+      Files.exists(java.nio.file.Paths.get(table, f)), s"missing file $f"))
+  }
+
+  test("multi-writer: two separate JVMs race commits through the filesystem CAS") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-mw2").toString + "/t"
+    IcebergishTable.write(
+      (0 until 8).map(i => (s"seed$i", i.toLong)).toDF("k", "v"), table, "k", 4)
+    val s0 = IcebergishTable.currentSnapshot(table)
+    val rowsBefore = IcebergishTable.read(spark, table).count()
+    // Any committed data file serves as the seed payload each child
+    // re-commits under fresh names (into its own source bucket).
+    val seedRel = IcebergishTable.snapshotFiles(table, s0).headOption
+      .getOrElse(fail("no committed data file"))
+    val seedBucket = IcebergishTable.bucketOfPath(seedRel)
+    val seedRows = spark.read.parquet(s"$table/$seedRel").count()
+    val seedAbs = java.nio.file.Paths.get(table, seedRel).toAbsolutePath.toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val perChild = 5
+    val procs = Seq("jvmA", "jvmB").map { id =>
+      new ProcessBuilder(javaBin, "-cp", System.getProperty("java.class.path"),
+        "graft.tools.CommitRaceChild", table, id, perChild.toString,
+        seedAbs, seedBucket.toString).inheritIO().start()
+    }
+    procs.foreach { p =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM timed out")
+      assert(p.exitValue() == 0, s"child JVM failed: ${p.exitValue()}")
+    }
+    // Both JVMs' commits all survived: 10 contiguous snapshots, every file
+    // referenced, full union readable.
+    assert(IcebergishTable.currentSnapshot(table) == s0 + 10)
+    val finalFiles = IcebergishTable.snapshotFiles(
+      table, IcebergishTable.currentSnapshot(table))
+    assert(finalFiles.count(_.contains("race-jvmA")) == perChild)
+    assert(finalFiles.count(_.contains("race-jvmB")) == perChild)
+    finalFiles.foreach(f => assert(
+      Files.exists(java.nio.file.Paths.get(table, f)), s"missing file $f"))
+    assert(IcebergishTable.read(spark, table).count() ==
+      rowsBefore + 2 * perChild * seedRows)
+  }
+
+  test("replace-type commits abort with CommitConflict when another writer lands first") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-cc2").toString + "/t"
+    IcebergishTable.write(
+      (0 until 8).map(i => (s"k$i", i.toLong)).toDF("k", "v"), table, "k", 4)
+    val s0 = IcebergishTable.currentSnapshot(table)
+    val seed = IcebergishTable.snapshotFiles(table, s0).head
+    def plant(name: String): String = {
+      val rel = s"data/part=${IcebergishTable.bucketOfPath(seed)}/$name"
+      Files.copy(java.nio.file.Paths.get(table, seed),
+        java.nio.file.Paths.get(table, rel))
+      rel
+    }
+    // Pinned against s0, no intervening commit: succeeds.
+    assert(IcebergishTable.commitAddedFiles(table, Seq(plant("cc-a.parquet")),
+      expectedParent = Some(s0)) == s0 + 1)
+    // Pinned against s0 AFTER another commit landed: typed abort — a
+    // replace-all merge onto the unseen parent would drop cc-a.parquet.
+    val planted = plant("cc-b.parquet")
+    intercept[CommitConflict] {
+      IcebergishTable.commitAddedFiles(table, Seq(planted),
+        expectedParent = Some(s0))
+    }
+    assert(IcebergishTable.currentSnapshot(table) == s0 + 1) // nothing committed
+  }
+
   test("appends onto a pre-versioned bucket layout (no bucket_fn) are refused") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft-fn").toString + "/t"

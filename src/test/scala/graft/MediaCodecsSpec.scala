@@ -273,4 +273,38 @@ class MediaCodecsSpec extends SparkSpec {
       assert(avi.frames.size == r.n_frames)
     }
   }
+
+  test("corrupt payload in a batch quarantines the row; the batch completes") {
+    import spark.implicits._
+    val good = Multimodal.synthesize(spark, 4242L, 30L).collect().toSeq
+    // Three corruption shapes: truncated header, bad magic, empty payload.
+    val bad = Seq(
+      good.head.copy(media_id = 9001L, payload = good.head.payload.take(8)),
+      good.head.copy(media_id = 9002L,
+        payload = Array.fill[Byte](64)(0x5a)),
+      good.head.copy(media_id = 9003L, payload = Array.emptyByteArray))
+    val mixed = spark.createDataset(good ++ bad).repartition(4)
+    val results = Multimodal.extractFeaturesQuarantined(mixed).collect()
+    assert(results.length == 33) // every row accounted for — batch completed
+    val q = results.filter(_.error != null)
+    assert(q.map(_.media_id).sorted.toSeq == Seq(9001L, 9002L, 9003L),
+      s"quarantined: ${q.map(r => r.media_id -> r.error).toSeq}")
+    assert(q.forall(r => r.feature == null && r.error.contains("failed to decode")))
+    // Healthy rows produced identical features to the strict path.
+    val okFeats = Multimodal.features(
+      Multimodal.extractFeaturesQuarantined(mixed))
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    val strict = Multimodal.extractFeatures(
+      Multimodal.synthesize(spark, 4242L, 30L))
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(okFeats == strict)
+    // The STRICT path surfaces the same failure as the typed GraftError.
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark.createDataset(bad)).collect()
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(e).isInstanceOf[graft.MediaDecodeFailed],
+      s"root cause was ${rootCause(e).getClass}")
+  }
 }
