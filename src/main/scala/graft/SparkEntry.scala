@@ -418,6 +418,35 @@ object SparkEntry {
         .orderBy(col("k"))
         .localCheckpoint()
     }),
+    "kg_evolve" -> ((s, _) => {
+      // Schema evolution round trip, oracle-verified: write, ALTER-style
+      // addColumn (metadata-only snapshot), append new-schema rows, append
+      // PRE-evolution-schema rows (subset writer stays legal), then
+      // aggregate the evolved table per tag (old files read the new column
+      // as null) plus the pre-evolution snapshot pinned with its era
+      // schema. DuckDB recomputes every slice from range().
+      val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+      val t = s"$dir/t"
+      def slice(a: Long, b: Long): DataFrame = s.range(a, b)
+        .select(concat(lit("k"), col("id") % 23).as("k"), col("id").as("v"))
+      graft.io.IcebergishTable.write(slice(0, 800), t, "k", 4)
+      val sOld = graft.io.IcebergishTable.currentSnapshot(t)
+      graft.io.IcebergishTable.addColumn(t, "tag",
+        org.apache.spark.sql.types.StringType)
+      graft.io.IcebergishTable.write(
+        slice(800, 1200).withColumn("tag",
+          concat(lit("new"), (col("v") % 5).cast("string"))),
+        t, "k", 4, org.apache.spark.sql.SaveMode.Append)
+      graft.io.IcebergishTable.write(slice(1200, 1400), t, "k", 4,
+        org.apache.spark.sql.SaveMode.Append) // pre-evolution writer
+      val cur = graft.io.IcebergishTable.read(s, t)
+        .groupBy(coalesce(col("tag"), lit("-")).as("tag"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      val pinned = graft.io.IcebergishTable.readSnapshot(s, t, sOld)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .select(lit("pinned").as("tag"), col("n"), col("sum_v"))
+      cur.unionByName(pinned).orderBy(col("tag")).localCheckpoint()
+    }),
     "kg_streamwrite" -> ((s, dir) => {
       // Native DSv2 STREAMING write path, oracle-verified end-to-end: the
       // events table streams through writeStream.toTable (AvailableNow,
@@ -519,6 +548,22 @@ object SparkEntry {
       // Compaction + expiry must preserve exactly the appended rows.
       ("SELECT 'k' || CAST(i % 37 AS VARCHAR) AS k, count(*) AS n, " +
         "CAST(sum(i) AS BIGINT) AS sum_v FROM range(1200) t(i) GROUP BY 1"),
+    "kg_evolve" ->
+      // Evolution must lose/invent no rows and null-fill exactly: old rows
+      // (both pre-evolution writes) group under '-', new-schema rows under
+      // their tags, and the pinned pre-evolution snapshot re-aggregates the
+      // first slice alone.
+      ("WITH rows AS (" +
+        "SELECT 'k' || CAST(i % 23 AS VARCHAR) AS k, i AS v, NULL AS tag " +
+        "FROM range(800) t(i) " +
+        "UNION ALL SELECT 'k' || CAST(i % 23 AS VARCHAR), i, " +
+        "'new' || CAST(i % 5 AS VARCHAR) FROM range(800, 1200) t(i) " +
+        "UNION ALL SELECT 'k' || CAST(i % 23 AS VARCHAR), i, NULL " +
+        "FROM range(1200, 1400) t(i)) " +
+        "SELECT coalesce(tag, '-') AS tag, count(*) AS n, " +
+        "CAST(sum(v) AS BIGINT) AS sum_v FROM rows GROUP BY 1 " +
+        "UNION ALL SELECT 'pinned', count(*), CAST(sum(i) AS BIGINT) " +
+        "FROM range(800) t(i)"),
     "kg_streamwrite" ->
       // The streaming sink must deliver exactly the source table's rows:
       // DuckDB recomputes the aggregate straight from the parquet the

@@ -172,11 +172,37 @@ object IcebergishTable {
                      added: Seq[String] = Seq.empty,
                      dropParent: String => Boolean = _ => false,
                      replaceAll: Boolean = false,
-                     expectedParent: Option[Int] = None): Int =
+                     expectedParent: Option[Int] = None,
+                     schemaEvolution: Boolean = false): Int =
     commitLocks.computeIfAbsent(table, _ => new Object).synchronized {
       commitLocked(table, schemaJson, parts, rows, bucketKey,
-        epochUpdate, added, dropParent, replaceAll, expectedParent)
+        epochUpdate, added, dropParent, replaceAll, expectedParent,
+        schemaEvolution)
     }
+
+  /** Append-type commits resolve their schema against the parent's: a
+    * writer carrying the PRE-evolution schema (a strict name+type subset)
+    * stays legal — the table's wider schema wins, its files simply lack the
+    * new columns (read as null). A write that ADDS columns must evolve the
+    * table first ([[addColumn]]); anything else is an incompatible write.
+    */
+  private def resolveAppendSchema(table: String, writeJson: String,
+                                  parentJson: String): String = {
+    if (writeJson == parentJson) return parentJson
+    val w = structOf(writeJson)
+    val p = structOf(parentJson)
+    val pTypes = p.fields.map(f => f.name -> f.dataType).toMap
+    if (w.fields.forall(f => pTypes.get(f.name).contains(f.dataType)))
+      parentJson
+    else {
+      val wTypes = w.fields.map(f => f.name -> f.dataType).toMap
+      val widens = p.fields.forall(f => wTypes.get(f.name).contains(f.dataType))
+      throw new graft.SchemaMismatch(table, p.simpleString, w.simpleString,
+        if (widens)
+          "write adds columns — evolve the table first (addColumn / ALTER TABLE ADD COLUMN)"
+        else "incompatible column set or types")
+    }
+  }
 
   private def commitLocked(table: String, schemaJson: String,
                            parts: Seq[Int], rows: Long,
@@ -185,7 +211,8 @@ object IcebergishTable {
                            added: Seq[String],
                            dropParent: String => Boolean,
                            replaceAll: Boolean,
-                           expectedParent: Option[Int]): Int = {
+                           expectedParent: Option[Int],
+                           schemaEvolution: Boolean = false): Int = {
     val d = dir(table)
     Files.createDirectories(d)
     // bucket_key/buckets record the partition spec (hash-bucket transform):
@@ -254,11 +281,19 @@ object IcebergishTable {
           .mkString("\"epochs\":{", ",", "},")
       val files = fileList
         .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      // Schema resolution against the (possibly re-merged) parent: a
+      // pre-evolution writer's subset schema resolves to the table's wider
+      // one; schemaEvolution commits (addColumn) pass their widened schema
+      // through unchanged.
+      val effSchemaJson =
+        if (replaceAll || schemaEvolution || parentJson.isEmpty) schemaJson
+        else resolveAppendSchema(table, schemaJson,
+          schemaJsonFrom(parentJson.get, table, base))
       val manifest =
         s"""{"snapshot":$target,"rows":$rows,$bucketMeta$epochMeta"partitions":[${parts.sorted.mkString(",")}],
            |"sizes":[${sizes.mkString(",")}],
            |"files":[${files.mkString(",")}],
-           |"schema":$schemaJson}""".stripMargin.replace("\n", "")
+           |"schema":$effSchemaJson}""".stripMargin.replace("\n", "")
       try {
         Files.write(d.resolve(s"snap-$target.json"),
           manifest.getBytes(StandardCharsets.UTF_8),
@@ -492,10 +527,23 @@ object IcebergishTable {
   def manifestMeta(table: String): (String, Option[(String, Int)]) = {
     val snap = currentSnapshot(table)
     if (snap < 0) throw new graft.TableNotFound(table)
+    manifestMetaAt(table, snap)
+  }
+
+  /** [[manifestMeta]] of a specific snapshot — DSv2 `VERSION AS OF` reads
+    * resolve their schema from the era they pin, not the current one.
+    */
+  def manifestMetaAt(table: String,
+                     snap: Int): (String, Option[(String, Int)]) = {
     val m = dir(table).resolve(s"snap-$snap.json")
-    if (!Files.exists(m))
-      throw new graft.ManifestCorrupted(table, snap,
-        "VERSION points at a missing manifest")
+    if (!Files.exists(m)) {
+      // Current pointer at a missing manifest = corruption; an explicitly
+      // requested older snapshot that is gone = expired (typed differently).
+      if (snap == currentSnapshot(table))
+        throw new graft.ManifestCorrupted(table, snap,
+          "VERSION points at a missing manifest")
+      else throw new graft.SnapshotNotFound(table, snap)
+    }
     val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
     // "schema": is always the final manifest field (see commit above).
     val schemaJson = schemaJsonFrom(json, table, snap)
@@ -667,13 +715,23 @@ object IcebergishTable {
     val files = snapshotFilesOpt(table, snap).getOrElse(
       throw new graft.ManifestCorrupted(table, snap,
         "VERSION points at a missing manifest"))
+    val schemaJson = manifestMeta(table)._1
     if (files.nonEmpty)
+      // The MANIFEST schema drives the read (not file inference): after
+      // schema evolution the current schema is wider than old files, and
+      // the parquet reader resolves columns by name — missing ones read as
+      // null, exactly Iceberg's add-column semantics.
       spark.read
+        .schema(structOf(schemaJson))
         .option("basePath", dir(table).resolve("data").toString)
         .parquet(files.map(f => dir(table).resolve(f).toString): _*)
     else
-      emptyTyped(spark, manifestMeta(table)._1)
+      emptyTyped(spark, schemaJson)
   }
+
+  private def structOf(schemaJson: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Live (non-tombstoned) data files, relative to the table root — the
     * DSv2 scan filters its bucket-directory listings against this.
@@ -695,6 +753,7 @@ object IcebergishTable {
       .filter(f => Files.exists(dir(table).resolve(f)))
     if (files.nonEmpty)
       spark.read
+        .schema(structOf(manifestMeta(table)._1))
         .option("basePath", dir(table).resolve("data").toString)
         .parquet(files.map(f => dir(table).resolve(f).toString): _*)
     else
@@ -718,11 +777,46 @@ object IcebergishTable {
       emptyTyped(spark, schemaJsonFrom(json, table, snapshot))
     } else {
       val paths = files.map(f => dir(table).resolve(f).toString)
-      // basePath keeps the part=<k> partition column in the schema.
+      // basePath keeps the part=<k> partition column in the schema; the
+      // SNAPSHOT's recorded schema drives the read — time travel across a
+      // schema evolution sees exactly the schema of its era.
       spark.read
+        .schema(structOf(schemaJsonFrom(json, table, snapshot)))
         .option("basePath", dir(table).resolve("data").toString)
         .parquet(paths.toIndexedSeq: _*)
     }
+  }
+
+  /** Schema evolution: add a nullable data column (the fixed-schema analog
+    * of the reference's schemaless "any new attribute just appears" —
+    * `load_all_vertex_attributes`, /root/reference/src/config.rs:88-95).
+    * METADATA-ONLY: a new snapshot with the SAME file list and a widened
+    * schema. Existing files read as null for the new column (parquet
+    * resolves by name); older snapshots keep time-traveling with the
+    * schema of their era; appends with the pre-evolution schema stay
+    * legal (subset resolution in the commit path).
+    */
+  def addColumn(table: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val (schemaJson, spec) = manifestMeta(table)
+    val cur = structOf(schemaJson)
+    if (cur.fieldNames.exists(_.equalsIgnoreCase(name)))
+      throw new graft.InvalidConfig(
+        s"column '$name' already exists in $table")
+    // New data columns slot in BEFORE the physical part column (partition
+    // columns stay last — the parquet reader appends them).
+    val (dataCols, partCols) = cur.fields.partition(_.name != PartCol)
+    val evolved = StructType(
+      dataCols.toSeq ++ Seq(StructField(name, dataType, nullable = true)) ++
+        partCols.toSeq)
+    val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
+      .getOrElse(snapshotFiles(table, currentSnapshot(table))
+        .map(bucketOfPath).distinct.sorted)
+    // No added files, no dropped parent files — the commit carries the
+    // parent's file list forward under the evolved schema.
+    commit(table, evolved.json, parts, 0L, bucketKey = spec,
+      schemaEvolution = true)
   }
 
   /** Create an empty table: commit snapshot 0 with the given data schema

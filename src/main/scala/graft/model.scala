@@ -128,6 +128,17 @@ final class BucketSpecMismatch(table: String, expected: String, got: String)
     extends GraftError(
       s"bucket spec mismatch for $table: table is bucketed by $expected, write supplied $got")
 
+/** A write's schema is incompatible with the table's committed schema:
+  * subset writes (pre-evolution writers) resolve fine, but a write that
+  * invents columns or changes a type would silently fork the table's
+  * schema history — rejected up front, with the fix named (addColumn /
+  * ALTER TABLE ADD COLUMN for legitimate widening).
+  */
+final class SchemaMismatch(table: String, expected: String, got: String,
+                           detail: String)
+    extends GraftError(
+      s"schema mismatch for $table: table is $expected, write supplied $got — $detail")
+
 /** A replace-type commit (compaction, maintenance rewrite) found that
   * another writer committed since it pinned its input snapshot. Committing
   * anyway would merge a replace-all file list onto an unseen parent and

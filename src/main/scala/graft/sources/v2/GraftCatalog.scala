@@ -60,6 +60,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     new GraftTable(ident.toString, path)
   }
 
+  /** SQL time travel: `SELECT … FROM graft.t VERSION AS OF n` — the
+    * returned table pins snapshot n's FILE LIST and SCHEMA (era schema,
+    * like Iceberg), unlike the scan-level `.option("snapshot", n)` which
+    * pins files under the current schema.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    if (!graft.io.IcebergishTable.exists(path))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val snap =
+      try version.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new graft.InvalidConfig(
+          s"graft table versions are snapshot ids (integers), got '$version'")
+      }
+    new GraftTable(s"$ident@$snap", path, pinned = Some(snap))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     graft.io.IcebergishTable.exists(tablePath(ident))
 
@@ -111,10 +129,31 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     new GraftTable(ident.toString, path)
   }
 
+  /** Schema evolution: `ALTER TABLE graft.t ADD COLUMN c TYPE` routes here
+    * as an AddColumn change → a metadata-only snapshot with the widened
+    * schema ([[graft.io.IcebergishTable.addColumn]]). Old snapshots keep
+    * the schema of their era; existing files read the new column as null.
+    * Other change kinds (rename/drop/retype) stay unsupported — they need
+    * field-id mapping the manifest format doesn't carry.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables do not support schema evolution")
+                          changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!graft.io.IcebergishTable.exists(path))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"nested column additions are not supported: ${add.fieldNames().mkString(".")}")
+        graft.io.IcebergishTable.addColumn(path, add.fieldNames()(0),
+          add.dataType())
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported table change (only ADD COLUMN): $other")
+    }
+    new GraftTable(ident.toString, path)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)

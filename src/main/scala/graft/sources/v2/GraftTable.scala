@@ -40,11 +40,17 @@ import graft.io.IcebergishTable
   *   METADATA column (`SELECT part FROM graft.edges`), which keeps exact
   *   bucket pruning available.
   */
-final class GraftTable(ident: String, path: String)
+final class GraftTable(ident: String, path: String,
+                       pinned: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns {
 
-  private val (schemaJson, bucketSpec) = IcebergishTable.manifestMeta(path)
+  // A VERSION-AS-OF table resolves schema + spec from the era it pins —
+  // time travel across a schema evolution sees the schema of its era.
+  private val (schemaJson, bucketSpec) = pinned match {
+    case Some(s) => IcebergishTable.manifestMetaAt(path, s)
+    case None => IcebergishTable.manifestMeta(path)
+  }
 
   /** Full physical schema (data columns + the part column, as written). */
   private val tableSchema: StructType =
@@ -74,8 +80,9 @@ final class GraftTable(ident: String, path: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Time travel: .option("snapshot", n) pins the scan to that manifest's
-    // file list (expired snapshots fail loudly at planning).
-    val snapshot = Option(options.get("snapshot")).map(_.toInt)
+    // file list (expired snapshots fail loudly at planning); a
+    // VERSION-AS-OF table is pinned wholesale.
+    val snapshot = Option(options.get("snapshot")).map(_.toInt).orElse(pinned)
     // Streaming admission control knobs (readStream options): cap how much
     // backlog one micro-batch may plan after downtime.
     val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)

@@ -249,6 +249,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(IcebergishTable.read(spark, s"$dir/t").count() == 500)
   }
 
+  test("ALTER TABLE ADD COLUMN through the catalog: evolved reads, nulls for old files") {
+    warehouse
+    import spark.implicits._
+    val table = s"$warehouse/evolving"
+    IcebergishTable.write(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), table, "k", 4)
+    val sOld = IcebergishTable.currentSnapshot(table)
+
+    spark.sql("ALTER TABLE graft.evolving ADD COLUMN lang STRING")
+    // Catalog reflects the widened schema; old rows read null.
+    val evolved = spark.table("graft.evolving")
+    assert(evolved.columns.toSeq == Seq("k", "v", "lang"))
+    assert(evolved.where(col("lang").isNull).count() == 2)
+
+    // New-schema rows arrive through the catalog write path.
+    Seq(("c", 3L, "en")).toDF("k", "v", "lang")
+      .writeTo("graft.evolving").append()
+    val got = spark.table("graft.evolving")
+      .select("k", "lang").as[(String, String)].collect().toSet
+    assert(got == Set(("a", null), ("b", null), ("c", "en")))
+
+    // VERSION AS OF pins the SCHEMA of its era along with the files…
+    val pinned = spark.sql(
+      s"SELECT * FROM graft.evolving VERSION AS OF $sOld")
+    assert(pinned.columns.toSeq == Seq("k", "v"))
+    assert(pinned.count() == 2)
+    // …while the scan-level option pins only the FILE LIST (current
+    // schema; the later column reads null) — both documented behaviors.
+    val optPinned = spark.read
+      .option("snapshot", sOld.toString).table("graft.evolving")
+    assert(optPinned.columns.toSeq == Seq("k", "v", "lang"))
+    assert(optPinned.count() == 2 &&
+      optPinned.where(col("lang").isNull).count() == 2)
+
+    // Non-ADD changes stay loudly unsupported.
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE graft.evolving RENAME COLUMN lang TO language")
+    }
+  }
+
   test("typed errors at the table protocol surface: corrupt manifest, bucket-spec mismatch") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-typed").toString

@@ -494,6 +494,61 @@ class IcebergishSpec extends SparkSpec {
     assert(IcebergishTable.currentSnapshot(table) == s0 + 1) // nothing committed
   }
 
+  test("schema evolution: addColumn widens the current schema, time travel keeps the old one") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StringType
+    val table = Files.createTempDirectory("graft-ev").toString + "/t"
+    IcebergishTable.write(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), table, "k", 4)
+    val sOld = IcebergishTable.currentSnapshot(table)
+
+    IcebergishTable.addColumn(table, "lang", StringType)
+    val sEvolved = IcebergishTable.currentSnapshot(table)
+    assert(sEvolved == sOld + 1) // metadata-only snapshot
+
+    // Current read: widened schema, old rows read the new column as null.
+    val cur = IcebergishTable.read(spark, table)
+    assert(cur.columns.toSeq == Seq("k", "v", "lang", "part"))
+    assert(cur.where(col("lang").isNull).count() == 2)
+
+    // Append new-schema rows; both eras coexist in one read.
+    IcebergishTable.write(Seq(("c", 3L, "en")).toDF("k", "v", "lang"),
+      table, "k", 4, org.apache.spark.sql.SaveMode.Append)
+    val all = IcebergishTable.read(spark, table)
+      .select("k", "lang").as[(String, String)].collect().toSet
+    assert(all == Set(("a", null), ("b", null), ("c", "en")))
+
+    // A PRE-evolution writer (subset schema) still appends legally, and the
+    // manifest keeps the WIDENED schema (no regression).
+    IcebergishTable.write(Seq(("d", 4L)).toDF("k", "v"),
+      table, "k", 4, org.apache.spark.sql.SaveMode.Append)
+    val after = IcebergishTable.read(spark, table)
+    assert(after.columns.toSeq == Seq("k", "v", "lang", "part"))
+    assert(after.where(col("k") === "d" && col("lang").isNull).count() == 1)
+
+    // A writer INVENTING a column is rejected typed, told to evolve first.
+    val err = intercept[SchemaMismatch] {
+      IcebergishTable.write(
+        Seq(("e", 5L, "fr", 1.5)).toDF("k", "v", "lang", "score"),
+        table, "k", 4, org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(err.getMessage.contains("addColumn"))
+    // …and a type-incompatible write is rejected too.
+    intercept[SchemaMismatch] {
+      IcebergishTable.write(Seq(("f", "not-a-long")).toDF("k", "v"),
+        table, "k", 4, org.apache.spark.sql.SaveMode.Append)
+    }
+
+    // Time travel: the pre-evolution snapshot reads with the OLD schema.
+    val old = IcebergishTable.readSnapshot(spark, table, sOld)
+    assert(old.columns.toSeq == Seq("k", "v", "part"))
+    assert(old.count() == 2)
+
+    // Duplicate column addition is rejected typed.
+    intercept[InvalidConfig] {
+      IcebergishTable.addColumn(table, "LANG", StringType)
+    }
+  }
+
   test("appends onto a pre-versioned bucket layout (no bucket_fn) are refused") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft-fn").toString + "/t"
