@@ -83,7 +83,8 @@ object GraphOut {
   private def writeGrouped(
       spark: SparkSession, table: String, keyCol: String, numParts: Int,
       ckptPath: String, runId: String, stage: String, groupSize: Int,
-      inputTag: String)(plan: Seq[Int] => DataFrame): WriteStats = {
+      inputTag: String, failAfterGroups: Int = -1)
+      (plan: Seq[Int] => DataFrame): WriteStats = {
     val done = verifiedDoneParts(spark, table, keyCol, ckptPath, runId,
       stage, inputTag)
     val all = (0 until numParts).toSeq
@@ -99,7 +100,11 @@ object GraphOut {
       } else f
 
     var written = 0L
+    var groups = 0
     pending.grouped(groupSize).foreach { group =>
+      if (failAfterGroups >= 0 && groups >= failAfterGroups)
+        throw new SimulatedFailure(
+          s"injected failure after $groups groups (stage=$stage)")
       val t0 = System.nanoTime()
       val obs = org.apache.spark.sql.Observation(
         s"lineage-$stage-${group.head}-${java.util.UUID.randomUUID}")
@@ -138,6 +143,7 @@ object GraphOut {
           java.lang.Long.toHexString(fp), n, n, wallMs, "done")
       }
       timed("ack-append")(Checkpoint.append(spark, ckptPath, rows))
+      groups += 1
     }
     WriteStats(pending, all.filter(done), written)
   }
@@ -145,6 +151,12 @@ object GraphOut {
   /** Write `df` into `table`, bucketed on `keyCol` into `numParts` buckets,
     * `groupSize` buckets per commit. `failAfterGroups >= 0` injects a crash
     * after that many committed groups (tests only).
+    *
+    * The general path shares [[writeGrouped]]'s observe-lineage mechanism
+    * with the hot path: per-bucket counts + fingerprints ride the write job
+    * itself (CollectMetrics) — no separate pre-write stats aggregation and
+    * collect. The only difference from [[writeBucketedDedup]] is the plan:
+    * a plain bucket-aligned repartition, no dedup aggregate.
     */
   def writeWithCheckpoint(
       df: DataFrame,
@@ -158,47 +170,16 @@ object GraphOut {
       failAfterGroups: Int = -1,
       inputTag: String = "static"
   ): WriteStats = {
-    val spark = df.sparkSession
-    val done = verifiedDoneParts(spark, table, keyCol, ckptPath, runId,
-      stage, inputTag)
-    val all = (0 until numParts).toSeq
-    val pending = all.filterNot(done)
     val withPart = df.withColumn(IcebergishTable.PartCol,
       IcebergishTable.partExpr(keyCol, numParts))
-
-    var written = 0L
-    var groups = 0
-    pending.grouped(groupSize).foreach { group =>
-      if (failAfterGroups >= 0 && groups >= failAfterGroups)
-        throw new SimulatedFailure(
-          s"injected failure after $groups groups (stage=$stage)")
-      val t0 = System.nanoTime()
-      val sub = withPart.where(col(IcebergishTable.PartCol).isin(group: _*))
-      // Lineage per bucket: row count + order-insensitive key fingerprint.
-      val stats = sub
-        .groupBy(col(IcebergishTable.PartCol))
-        .agg(count(lit(1)).as("n"),
-          coalesce(expr(s"bit_xor(xxhash64($keyCol))"), lit(0L)).as("fp"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
-      // Pending buckets may hold stale files from a previous input snapshot;
-      // dynamic overwrite won't touch a bucket with zero new rows, so clear
-      // them explicitly before the write (they are unacked — crash-safe).
-      IcebergishTable.deletePartitionDirs(table, group)
-      IcebergishTable.overwritePartitions(df, table, keyCol, numParts, group)
-      val wallMs = (System.nanoTime() - t0) / 1000000L
-      val rows = group.map { p =>
-        val (n, fp) = stats.getOrElse(p, (0L, 0L))
-        written += n
-        CheckpointRow(runId, stage, p, inputTag,
-          java.lang.Long.toHexString(fp), n, n, wallMs, "done")
-      }
-      // Ack strictly after the data files are durable.
-      Checkpoint.append(spark, ckptPath, rows)
-      groups += 1
+    writeGrouped(df.sparkSession, table, keyCol, numParts, ckptPath, runId,
+      stage, groupSize, inputTag, failAfterGroups) { group =>
+      // Aligned repartition on the KEY: partition id = pmod(murmur3(key),
+      // numParts) = bucket, so each task holds exactly one whole bucket
+      // (see bucketedDedupPlanAligned).
+      withPart.where(col(IcebergishTable.PartCol).isin(group: _*))
+        .repartition(numParts, col(keyCol))
     }
-    WriteStats(pending, all.filter(done), written)
   }
 
   /** Single-shuffle bucketed write with in-shuffle dedup (the 100 TB hot

@@ -120,8 +120,32 @@ object StreamingKg {
     val deduped = GraphOut.bucketedDedupPlanAligned(withPart, numParts,
       "subj", Seq("subj", "pred", "obj", "url"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = deduped.count() // this batch's rows, not a whole-table rescan
-    IcebergishTable.appendPrePartitioned(deduped, table, numParts, "subj")
+    // CROSS-BATCH dedup (late-data semantics): a page re-delivered in a
+    // later micro-batch — a duplicated input file, an upstream retry —
+    // re-emits triples an earlier batch already committed, and the
+    // in-batch dedup cannot see them. Anti-join the batch against the
+    // table's CURRENT committed state on the dedup key, reading ONLY the
+    // buckets this batch touches (both sides are bucketed on subj, and the
+    // batch's bucket list is bounded by numParts). The incremental build
+    // therefore converges to the batch build's table for ANY partitioning,
+    // ordering, or duplication of the same logical pages.
+    val fresh = (
+      if (!IcebergishTable.exists(table)) deduped
+      else {
+        val batchParts = deduped
+          .select(col(IcebergishTable.PartCol)).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val existing = IcebergishTable.read(spark, table)
+          .where(col(IcebergishTable.PartCol).isin(batchParts: _*))
+          .select("subj", "pred", "obj", "url")
+        deduped.join(existing, Seq("subj", "pred", "obj", "url"), "left_anti")
+          .repartition(numParts, col("subj")) // restore bucket alignment
+      }
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = fresh.count() // this batch's rows, not a whole-table rescan
+    if (n > 0)
+      IcebergishTable.appendPrePartitioned(fresh, table, numParts, "subj")
+    fresh.unpersist(blocking = false)
     deduped.unpersist(blocking = false)
     Checkpoint.append(spark, ackPath, Seq(graft.CheckpointRow(
       "stream", "append", 0, tag, preSnapshot.toString, n, n, 0L, "done")))
