@@ -418,6 +418,36 @@ object SparkEntry {
         .orderBy(col("k"))
         .localCheckpoint()
     }),
+    "kg_multiwriter" -> ((s, _) => {
+      // Concurrent multi-writer commits, oracle-verified: four threads
+      // race disjoint appends into ONE bucketed table through the public
+      // write path (explicit-file-manifest commits + CREATE_NEW CAS); the
+      // final aggregate must equal DuckDB recomputing all slices from
+      // range() — a clobbered or torn commit loses a slice and breaks the
+      // hash compare. Deterministic under ANY interleaving: commit order
+      // does not affect the union.
+      val dir = java.nio.file.Files.createTempDirectory("graft-mw").toString
+      val t = s"$dir/t"
+      def slice(a: Long, b: Long): DataFrame = s.range(a, b)
+        .select(concat(lit("k"), col("id") % 29).as("k"), col("id").as("v"))
+      graft.io.IcebergishTable.write(slice(0, 400), t, "k", 4)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (0 until 4).map { w =>
+        new Thread(() => {
+          try graft.io.IcebergishTable.write(
+            slice(400 + w * 200L, 400 + (w + 1) * 200L), t, "k", 4,
+            org.apache.spark.sql.SaveMode.Append)
+          catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(300000))
+      if (!errs.isEmpty) throw errs.peek()
+      graft.io.IcebergishTable.read(s, t)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy(col("k"))
+        .localCheckpoint()
+    }),
     "kg_evolve" -> ((s, _) => {
       // Schema evolution round trip, oracle-verified: write, ALTER-style
       // addColumn (metadata-only snapshot), append new-schema rows, append
@@ -547,6 +577,10 @@ object SparkEntry {
     "kg_compact" ->
       // Compaction + expiry must preserve exactly the appended rows.
       ("SELECT 'k' || CAST(i % 37 AS VARCHAR) AS k, count(*) AS n, " +
+        "CAST(sum(i) AS BIGINT) AS sum_v FROM range(1200) t(i) GROUP BY 1"),
+    "kg_multiwriter" ->
+      // Four racing appends + the seed slice must union losslessly.
+      ("SELECT 'k' || CAST(i % 29 AS VARCHAR) AS k, count(*) AS n, " +
         "CAST(sum(i) AS BIGINT) AS sum_v FROM range(1200) t(i) GROUP BY 1"),
     "kg_evolve" ->
       // Evolution must lose/invent no rows and null-fill exactly: old rows
