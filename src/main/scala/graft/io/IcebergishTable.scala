@@ -961,6 +961,47 @@ object IcebergishTable {
     writeTombstones(table, tombstones(table) ++ prevFiles)
   }
 
+  /** Delete data files referenced by NO existing snapshot manifest — the
+    * leftovers of a writer that crashed between promote and commit (or a
+    * compaction loser's sweep racing a crash). Orphans are invisible to
+    * every read (manifest-pinned), so this is pure space reclaim —
+    * Iceberg's remove_orphan_files. `olderThanMs` is the safety grace: a
+    * CONCURRENT writer mid-promote has files on disk that its imminent
+    * commit will reference, and they are younger than any sane grace
+    * window (default 1 h). Like expiry, a maintenance op: one at a time
+    * per table. Returns the deleted relative paths.
+    */
+  def removeOrphans(table: String, olderThanMs: Long = 3600000L): Seq[String] = {
+    val d = dir(table)
+    if (!exists(table)) throw new graft.TableNotFound(table)
+    val referenced: Set[String] = {
+      val s = Files.list(d)
+      val manifests =
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.matches("snap-\\d+\\.json")).toSeq
+        finally s.close()
+      manifests.flatMap { m =>
+        val snap = m.getFileName.toString.stripPrefix("snap-")
+          .stripSuffix(".json").toInt
+        snapshotFiles(table, snap)
+      }.toSet
+    }
+    val data = d.resolve("data")
+    if (!Files.exists(data)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val candidates = Files.walk(data).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => (d.relativize(p), p))
+      .filterNot { case (rel, _) => isHiddenPath(rel) } // staging is live
+      .filter { case (rel, p) =>
+        !referenced.contains(rel.toString) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+      }
+      .toSeq
+    candidates.foreach { case (_, p) => Files.deleteIfExists(p) }
+    candidates.map(_._1.toString)
+  }
+
   /** Physically delete tombstoned files referenced by NO retained snapshot
     * and drop the expired manifests. The `keepLast` most recent snapshots
     * survive (and keep time-traveling); older `readSnapshot` calls fail

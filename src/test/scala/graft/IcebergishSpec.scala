@@ -507,6 +507,41 @@ class IcebergishSpec extends SparkSpec {
       rowsBefore + 2 * perChild * seedRows)
   }
 
+  test("removeOrphans reclaims promote-then-crash leftovers; referenced and staged files survive") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-orph").toString + "/t"
+    IcebergishTable.write(
+      (0 until 8).map(i => (s"k$i", i.toLong)).toDF("k", "v"), table, "k", 4)
+    val seed = IcebergishTable.snapshotFiles(
+      table, IcebergishTable.currentSnapshot(table)).head
+    val bucket = IcebergishTable.bucketOfPath(seed)
+    def plantAged(rel: String): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(table, rel)
+      Files.createDirectories(p.getParent)
+      Files.copy(java.nio.file.Paths.get(table, seed), p)
+      Files.setLastModifiedTime(p, // simulated crash two hours ago
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L))
+      p
+    }
+    // An aged orphan (promoted, never committed), an aged STAGED file (a
+    // writer's private area — never touched), and a fresh orphan (inside
+    // the grace window of a possibly-mid-promote writer).
+    val orphan = plantAged(s"data/part=$bucket/orphan-old.parquet")
+    val staged = plantAged(s"data/_staging/batch-x/part=$bucket/in-flight.parquet")
+    val fresh = java.nio.file.Paths.get(table, s"data/part=$bucket/orphan-new.parquet")
+    Files.copy(java.nio.file.Paths.get(table, seed), fresh)
+
+    val removed = IcebergishTable.removeOrphans(table, olderThanMs = 3600000L)
+    assert(removed == Seq(s"data/part=$bucket/orphan-old.parquet"), removed)
+    assert(!Files.exists(orphan))
+    assert(Files.exists(staged) && Files.exists(fresh))
+    // Every committed file untouched; reads unaffected.
+    IcebergishTable.snapshotFiles(table, IcebergishTable.currentSnapshot(table))
+      .foreach(f => assert(Files.exists(java.nio.file.Paths.get(table, f))))
+    assert(IcebergishTable.read(spark, table).count() == 8)
+  }
+
   test("replace-type commits abort with CommitConflict when another writer lands first") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft-cc2").toString + "/t"
