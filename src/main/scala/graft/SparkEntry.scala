@@ -418,6 +418,40 @@ object SparkEntry {
         .orderBy(col("k"))
         .localCheckpoint()
     }),
+    "kg_delete" -> ((s, _) => {
+      // Copy-on-write row-level DELETE, oracle-verified: only the buckets
+      // containing matches are rewritten; DuckDB recomputes the survivors
+      // from range() — a lost survivor or surviving victim breaks the hash.
+      val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
+      val t = s"$dir/t"
+      graft.io.IcebergishTable.write(
+        s.range(0, 2000).select(concat(lit("k"), col("id") % 41).as("k"),
+          col("id").as("v")),
+        t, "k", 8)
+      graft.io.IcebergishTable.deleteWhere(s, t, col("v") % 7 === 3)
+      graft.io.IcebergishTable.read(s, t)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy(col("k"))
+        .localCheckpoint()
+    }),
+    "kg_merge" -> ((s, _) => {
+      // Copy-on-write MERGE (upsert) in ONE atomic commit, oracle-verified:
+      // updates replace rows by key, unmatched rows insert; DuckDB
+      // recomputes the merged state from range().
+      val dir = java.nio.file.Files.createTempDirectory("graft-mrg").toString
+      val t = s"$dir/t"
+      def rows(a: Long, b: Long, mult: Long) = s.range(a, b)
+        .select(concat(lit("k"), col("id") % 31).as("k"),
+          col("id").as("id"), (col("id") * mult).as("v"))
+      graft.io.IcebergishTable.write(rows(0, 1000, 1), t, "k", 8)
+      graft.io.IcebergishTable.mergeRows(t, rows(500, 1500, 10), Seq("id"))
+      graft.io.IcebergishTable.read(s, t)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy(col("k"))
+        .localCheckpoint()
+    }),
     "kg_multiwriter" -> ((s, _) => {
       // Concurrent multi-writer commits, oracle-verified: four threads
       // race disjoint appends into ONE bucketed table through the public
@@ -578,6 +612,20 @@ object SparkEntry {
       // Compaction + expiry must preserve exactly the appended rows.
       ("SELECT 'k' || CAST(i % 37 AS VARCHAR) AS k, count(*) AS n, " +
         "CAST(sum(i) AS BIGINT) AS sum_v FROM range(1200) t(i) GROUP BY 1"),
+    "kg_delete" ->
+      // Survivors of the COW delete, recomputed.
+      ("SELECT 'k' || CAST(i % 41 AS VARCHAR) AS k, count(*) AS n, " +
+        "CAST(sum(i) AS BIGINT) AS sum_v FROM range(2000) t(i) " +
+        "WHERE NOT (i % 7 = 3) GROUP BY 1"),
+    "kg_merge" ->
+      // The merged state: untouched seed rows + updated/inserted rows.
+      ("WITH rows AS (" +
+        "SELECT 'k' || CAST(i % 31 AS VARCHAR) AS k, i AS id, i AS v " +
+        "FROM range(500) t(i) " +
+        "UNION ALL SELECT 'k' || CAST(i % 31 AS VARCHAR), i, i * 10 " +
+        "FROM range(500, 1500) t(i)) " +
+        "SELECT k, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v " +
+        "FROM rows GROUP BY 1"),
     "kg_multiwriter" ->
       // Four racing appends + the seed slice must union losslessly.
       ("SELECT 'k' || CAST(i % 29 AS VARCHAR) AS k, count(*) AS n, " +

@@ -961,6 +961,98 @@ object IcebergishTable {
     writeTombstones(table, tombstones(table) ++ prevFiles)
   }
 
+  /** Row-level DELETE, copy-on-write (Iceberg v1 COW semantics): rewrite
+    * ONLY the buckets containing matching rows with their surviving rows,
+    * and commit fresh files over exactly those buckets' parent files —
+    * untouched buckets' files carry forward byte-identical (no rewrite,
+    * no read). SQL semantics: rows where `cond` evaluates NULL are NOT
+    * deleted. Old files stay on disk for time travel (tombstoned for
+    * expiry). Pins its input snapshot: any concurrent commit aborts this
+    * delete with a typed [[graft.CommitConflict]] (retry against the new
+    * state); its fresh files are cleaned up. Returns deleted row count.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+                  cond: org.apache.spark.sql.Column): Long = {
+    val startSnap = currentSnapshot(table)
+    if (startSnap < 0) throw new graft.TableNotFound(table)
+    val (schemaJson, spec) = manifestMetaAt(table, startSnap)
+    val snap = readSnapshot(spark, table, startSnap)
+    val hit = coalesce(cond, lit(false))
+    val touched = snap.where(hit)
+      .select(col(PartCol)).distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return 0L
+    val deleted = snap.where(hit).count()
+    val keep = snap
+      .where(col(PartCol).isin(touched.toSeq: _*)).where(!hit)
+      .repartition(math.max(1, touched.size), col(PartCol))
+    rewriteBuckets(table, startSnap, schemaJson, spec, touched, keep)
+    deleted
+  }
+
+  /** MERGE (upsert), copy-on-write and ATOMIC in one commit: rows of
+    * `updates` replace existing rows sharing their `keyCols`; unmatched
+    * update rows insert. Only the buckets the update keys hash into are
+    * rewritten — (surviving existing rows) ∪ updates — every other bucket
+    * carries forward untouched. Same snapshot pinning + typed
+    * [[graft.CommitConflict]] as [[deleteWhere]]. `updates` must carry
+    * every data column of the table and at most one row per key (like
+    * Iceberg's MERGE, multiple matches per key are the caller's bug —
+    * they would both insert).
+    */
+  def mergeRows(table: String, updates: DataFrame,
+                keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "mergeRows needs at least one key column")
+    val spark = updates.sparkSession
+    val startSnap = currentSnapshot(table)
+    if (startSnap < 0) throw new graft.TableNotFound(table)
+    val (schemaJson, spec) = manifestMetaAt(table, startSnap)
+    val (bucketCol, n) = spec.getOrElse(throw new graft.BucketSpecMismatch(
+      table, "a committed bucket spec", "none — mergeRows needs the bucket layout"))
+    val up = updates
+      .withColumn(PartCol, partExpr(bucketCol, n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = up.select(col(PartCol)).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty) return
+      val existing = readSnapshot(spark, table, startSnap)
+        .where(col(PartCol).isin(touched.toSeq: _*))
+      val survivors = existing.join(up.select(keyCols.map(col): _*),
+        keyCols, "left_anti")
+      val rewritten = survivors
+        .unionByName(up.select(existing.columns.map(col).toIndexedSeq: _*))
+        .repartition(math.max(1, touched.size), col(PartCol))
+      rewriteBuckets(table, startSnap, schemaJson, spec, touched, rewritten)
+    } finally up.unpersist(blocking = false)
+  }
+
+  /** Shared COW core of [[deleteWhere]]/[[mergeRows]]: stage + promote the
+    * replacement rows of `touched` buckets, commit them over exactly those
+    * buckets' parent files (pinned to `startSnap`), tombstone the replaced
+    * files for expiry. Conflict → fresh files cleaned, typed rethrow.
+    */
+  private def rewriteBuckets(table: String, startSnap: Int,
+                             schemaJson: String,
+                             spec: Option[(String, Int)],
+                             touched: Set[Int], replacement: DataFrame): Unit = {
+    val replacedFiles = snapshotFiles(table, startSnap)
+      .filter(f => touched.contains(bucketOfPath(f)))
+    val (fresh, _) = stagePromote(replacement, table, wipeTouched = false)
+    try {
+      commit(table, schemaJson,
+        spec.map { case (_, n) => 0 until n: Seq[Int] }
+          .getOrElse(touched.toSeq.sorted),
+        0L, bucketKey = spec, added = fresh,
+        dropParent = f => touched.contains(bucketOfPath(f)),
+        expectedParent = Some(startSnap))
+    } catch {
+      case e: graft.CommitConflict =>
+        fresh.foreach(f => Files.deleteIfExists(dir(table).resolve(f)))
+        throw e
+    }
+    writeTombstones(table, tombstones(table) ++ replacedFiles)
+  }
+
   /** Delete data files referenced by NO existing snapshot manifest — the
     * leftovers of a writer that crashed between promote and commit (or a
     * compaction loser's sweep racing a crash). Orphans are invisible to

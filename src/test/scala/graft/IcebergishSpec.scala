@@ -507,6 +507,81 @@ class IcebergishSpec extends SparkSpec {
       rowsBefore + 2 * perChild * seedRows)
   }
 
+  test("COW deleteWhere rewrites only touched buckets; time travel keeps deleted rows") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-del").toString + "/t"
+    IcebergishTable.write(
+      (0 until 64).map(i => (s"k${i % 16}", i.toLong)).toDF("k", "v"),
+      table, "k", 8)
+    val s0 = IcebergishTable.currentSnapshot(table)
+    val before = IcebergishTable.snapshotFiles(table, s0)
+
+    // Delete one key's rows (4 of 64). NULL-eval rows must survive: the
+    // condition is null for v = 63 (planted via nullif) — not deleted.
+    val cond = (col("k") === "k3") || (expr("nullif(v, 63)") > 100L)
+    val deleted = IcebergishTable.deleteWhere(spark, table, cond)
+    assert(deleted == 4, s"deleted $deleted")
+    val now = IcebergishTable.read(spark, table)
+    assert(now.count() == 60)
+    assert(now.where(col("k") === "k3").count() == 0)
+    assert(now.where(col("v") === 63L).count() == 1) // null-cond row kept
+
+    // Only the hit bucket was rewritten: every other bucket's files carry
+    // forward BYTE-IDENTICAL (same relative paths).
+    val hitBucket = Seq(("k3", 1)).toDF("k", "x")
+      .select(IcebergishTable.partExpr("k", 8)).head().getInt(0)
+    val after = IcebergishTable.snapshotFiles(
+      table, IcebergishTable.currentSnapshot(table))
+    val untouchedBefore = before.filterNot(f =>
+      IcebergishTable.bucketOfPath(f) == hitBucket).toSet
+    assert(untouchedBefore.subsetOf(after.toSet),
+      s"untouched buckets rewritten: ${untouchedBefore -- after.toSet}")
+    assert(!after.exists(f => before.contains(f) &&
+      IcebergishTable.bucketOfPath(f) == hitBucket),
+      "hit bucket's old files still referenced")
+
+    // Time travel: the pre-delete snapshot still shows the deleted rows.
+    assert(IcebergishTable.readSnapshot(spark, table, s0).count() == 64)
+    // Expiry reclaims the replaced files.
+    IcebergishTable.expireSnapshots(table, keepLast = 1)
+    intercept[SnapshotNotFound] {
+      IcebergishTable.readSnapshot(spark, table, s0).count()
+    }
+    assert(IcebergishTable.read(spark, table).count() == 60)
+
+    // A no-match delete is a free no-op (no new snapshot).
+    val snapBefore = IcebergishTable.currentSnapshot(table)
+    assert(IcebergishTable.deleteWhere(spark, table, col("k") === "nope") == 0)
+    assert(IcebergishTable.currentSnapshot(table) == snapBefore)
+  }
+
+  test("COW mergeRows upserts atomically: updates replace by key, inserts append, one commit") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-mrg").toString + "/t"
+    IcebergishTable.write(
+      (0 until 40).map(i => (s"k${i % 10}", i.toLong, s"old$i"))
+        .toDF("k", "id", "tag"),
+      table, "k", 8)
+    val s0 = IcebergishTable.currentSnapshot(table)
+    // Updates: ids 0-9 get new tags; ids 100-104 are fresh inserts.
+    val updates = ((0 until 10).map(i => (s"k${i % 10}", i.toLong, s"new$i")) ++
+      (100 until 105).map(i => (s"k${i % 10}", i.toLong, s"ins$i")))
+      .toDF("k", "id", "tag")
+    IcebergishTable.mergeRows(table, updates, Seq("k", "id"))
+    assert(IcebergishTable.currentSnapshot(table) == s0 + 1) // ONE commit
+
+    val now = IcebergishTable.read(spark, table)
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(now.size == 45)
+    (0 until 10).foreach(i => assert(now(i.toLong) == s"new$i"))
+    (10 until 40).foreach(i => assert(now(i.toLong) == s"old$i"))
+    (100 until 105).foreach(i => assert(now(i.toLong) == s"ins$i"))
+    // Pre-merge snapshot still time-travels to the old tags.
+    val old = IcebergishTable.readSnapshot(spark, table, s0)
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(old.size == 40 && old(0L) == "old0")
+  }
+
   test("removeOrphans reclaims promote-then-crash leftovers; referenced and staged files survive") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft-orph").toString + "/t"
