@@ -2,21 +2,30 @@ package graft.ops
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM codecs for the three uncompressed media containers that need no
-  * codec library: 24-bit BMP (BITMAPINFOHEADER), PCM16 WAV (RIFF), and
-  * AVI with uncompressed DIB ('00db') video frames (RIFF).
+/** Pure-JVM codecs: hand-rolled byte-level parsers for the uncompressed
+  * containers — 24-bit BMP (BITMAPINFOHEADER), PCM16 WAV (RIFF), AVI with
+  * uncompressed DIB ('00db') video frames (RIFF) — plus COMPRESSED image
+  * formats (JPEG, PNG) through the JDK's own `javax.imageio` (the JDK
+  * ships libjpeg/zlib ports; no external codec library involved).
   *
-  * These make ALL THREE of the multimodal pipeline's decode kernels REAL —
-  * byte-level container parse, exact pixel/sample/frame recovery.
-  * Compressed codecs (JPEG, MP3, H.264) stay out of scope: the sandbox
-  * ships no codec libraries, and the container layer — the part a Spark
-  * pipeline owns — is fully exercised without them. Encoders exist so
-  * tests and the synthesizer can produce valid payloads deterministically.
+  * All image decodes converge on one struct ([[Bmp]]: row-major top-down
+  * RGB), so every image kernel — features, resize, frame handling — works
+  * identically on BMP, JPEG, and PNG. PNG round-trips losslessly (exact
+  * pixels asserted in spec); JPEG decode is deterministic for a given JRE
+  * (asserted). Compressed AUDIO/VIDEO codecs (MP3, H.264) remain out of
+  * scope: the JDK carries no decoder for them and the sandbox ships no
+  * codec libraries — the container layer, the part a Spark pipeline owns,
+  * is fully exercised without them.
   *
   * Everything here is a pure function over byte arrays: it runs inside
   * `mapPartitions` batches on executors, never on the driver.
   */
 object MediaCodecs {
+
+  // ImageIO needs no display, but be explicit so executor JVMs without a
+  // headless flag never try to touch a windowing toolkit.
+  if (System.getProperty("java.awt.headless") == null)
+    System.setProperty("java.awt.headless", "true")
 
   final case class Bmp(width: Int, height: Int, rgb: Array[Byte]) {
     /** Row-major top-down; 3 bytes (R,G,B) per pixel. */
@@ -125,6 +134,65 @@ object MediaCodecs {
     * deterministic, codec-free, and the resize semantics a training
     * pipeline's thumbnail stage needs.
     */
+  /** Encode via the JDK's ImageIO: `format` is "jpg"/"jpeg" (lossy,
+    * deterministic per JRE) or "png" (lossless). Same pixel-function shape
+    * as [[encodeBmp]], so the synthesizer treats all image formats alike.
+    */
+  def encodeImageIO(format: String, width: Int, height: Int,
+                    pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"no ImageIO writer for format '$format'")
+    out.toByteArray
+  }
+
+  /** Decode ANY supported image payload into the shared row-major RGB
+    * struct: BMP by magic through the hand-rolled parser, JPEG/PNG through
+    * ImageIO. Malformed payloads raise IllegalArgumentException with the
+    * cause — the per-row quarantine pattern catches these uniformly.
+    */
+  def decodeImage(bytes: Array[Byte]): Bmp = {
+    require(bytes.length >= 2, s"truncated image payload: ${bytes.length} bytes")
+    if (bytes(0) == 'B' && bytes(1) == 'M') return decodeBmp(bytes)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(s"image decode failed: $e")
+      }
+    require(img != null, "no ImageIO reader matched the payload (bad magic)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        rgb(o) = ((p >> 16) & 0xff).toByte
+        rgb(o + 1) = ((p >> 8) & 0xff).toByte
+        rgb(o + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(w, h, rgb)
+  }
+
   def resampleBmp(img: Bmp, newWidth: Int, newHeight: Int): Bmp = {
     require(newWidth > 0 && newHeight > 0)
     val out = new Array[Byte](newWidth * newHeight * 3)

@@ -13,9 +13,11 @@ import graft.synth.Rng
   * enter shuffles.
   *
   * Decode kernels, by format:
-  *  - image = 24-bit uncompressed BMP — REAL byte-level decode
-  *    ([[MediaCodecs.decodeBmp]]), real nearest-neighbor pixel resampling,
-  *    features computed from actual pixels.
+  *  - image family = 24-bit uncompressed BMP (REAL byte-level decode,
+  *    [[MediaCodecs.decodeBmp]]) plus COMPRESSED JPEG and PNG through the
+  *    JDK's own javax.imageio ([[MediaCodecs.decodeImage]] — no external
+  *    codec library); real nearest-neighbor pixel resampling with
+  *    format-preserving re-encode, features computed from actual pixels.
   *  - audio = PCM16 WAV — REAL RIFF chunk-walk decode
   *    ([[MediaCodecs.decodeWavPcm16]]), features from actual samples
   *    (RMS, zero-crossing rate, amplitude histogram).
@@ -24,15 +26,15 @@ import graft.synth.Rng
   *    actual pixels across frames (incl. temporal motion energy), frame
   *    sampling re-encodes real frames as BMP for downstream image stages.
   *
-  * Compressed codecs (JPEG/MP3/H.264) are out of scope in this sandbox (no
-  * codec libraries); the container/pipeline layer is fully real for all
-  * three modalities.
+  * Compressed AUDIO/VIDEO codecs (MP3/H.264) remain out of scope: the JDK
+  * carries no decoder for them and the sandbox ships no codec libraries;
+  * the container/pipeline layer is fully real for all modalities.
   */
 object Multimodal {
 
   final case class MediaRow(
       media_id: Long,
-      kind: String, // image | audio | video
+      kind: String, // image (BMP) | jpeg | png | audio | video
       payload: Array[Byte],
       width: Int,
       height: Int,
@@ -52,25 +54,32 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int,
                          frame_bytes: Array[Byte])
 
-  /** Deterministic synthetic media table. Image payloads are VALID 24-bit
-    * BMPs (counter-PRNG pixels), audio payloads are VALID PCM16 WAVs,
-    * video payloads are VALID uncompressed-DIB AVIs — real containers the
-    * decode kernels parse byte-for-byte.
+  /** Deterministic synthetic media table. Image payloads are VALID
+    * containers in THREE formats — 24-bit BMP (hand-rolled encoder), JPEG
+    * and PNG (JDK ImageIO) — audio payloads are VALID PCM16 WAVs, video
+    * payloads are VALID uncompressed-DIB AVIs; every one parses
+    * byte-for-byte through the real decode kernels.
     */
   def synthesize(spark: SparkSession, seed: Long, n: Long,
                  partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n, 1L, partitions).map { i =>
-      val kind = Vector("image", "audio", "video")(Rng.nextInt(seed, i, 0, 3))
+      val kind = Vector("image", "jpeg", "png", "audio", "video")(
+        Rng.nextInt(seed, i, 0, 5))
       kind match {
-        case "image" =>
+        case "image" | "jpeg" | "png" =>
           val w = 4 + Rng.nextInt(seed, i, 2, 28)
           val h = 4 + Rng.nextInt(seed, i, 3, 28)
-          val bmp = MediaCodecs.encodeBmp(w, h, (x, y) => {
+          val px = (x: Int, y: Int) => {
             val v = Rng.at(seed, i, 100L + y.toLong * w + x)
             ((v & 0xff).toInt, ((v >>> 8) & 0xff).toInt, ((v >>> 16) & 0xff).toInt)
-          })
-          MediaRow(i, kind, bmp, w, h, 0, 1)
+          }
+          val payload = kind match {
+            case "image" => MediaCodecs.encodeBmp(w, h, px)
+            case "jpeg" => MediaCodecs.encodeImageIO("jpg", w, h, px)
+            case _ => MediaCodecs.encodeImageIO("png", w, h, px)
+          }
+          MediaRow(i, kind, payload, w, h, 0, 1)
         case "audio" =>
           val rate = Vector(8000, 16000, 44100)(Rng.nextInt(seed, i, 4, 3))
           val nSamples = 64 + Rng.nextInt(seed, i, 5, 960)
@@ -97,7 +106,7 @@ object Multimodal {
     * then a (dim-4)-bin luminance histogram (mass-normalized).
     */
   private[graft] def imageFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    val img = MediaCodecs.decodeBmp(payload)
+    val img = MediaCodecs.decodeImage(payload) // BMP, JPEG, or PNG
     val out = new Array[Float](dim)
     val nPix = img.width * img.height
     val bins = dim - 4
@@ -226,7 +235,7 @@ object Multimodal {
     */
   private def decodeOne(r: MediaRow, dim: Int): Array[Float] =
     try r.kind match {
-      case "image" => imageFeatures(r.payload, dim)
+      case "image" | "jpeg" | "png" => imageFeatures(r.payload, dim)
       case "audio" => audioFeatures(r.payload, dim)
       case _ => videoFeatures(r.payload, dim)
     } catch {
@@ -288,10 +297,19 @@ object Multimodal {
         val scale = maxSide.toDouble / math.max(r.width, r.height)
         val w = math.max(1, (r.width * scale).toInt)
         val h = math.max(1, (r.height * scale).toInt)
-        if (r.kind == "image") {
-          val resampled = MediaCodecs.resampleBmp(MediaCodecs.decodeBmp(r.payload), w, h)
-          r.copy(width = w, height = h,
-            payload = MediaCodecs.encodeBmp(w, h, (x, y) => resampled.pixel(x, y)))
+        if (r.kind != "video") {
+          // Re-encode in the row's OWN format (BMP stays BMP, JPEG stays
+          // JPEG, PNG stays PNG) — a resize must not silently transcode.
+          val resampled = MediaCodecs.resampleBmp(
+            MediaCodecs.decodeImage(r.payload), w, h)
+          val payload = r.kind match {
+            case "jpeg" => MediaCodecs.encodeImageIO("jpg", w, h,
+              (x, y) => resampled.pixel(x, y))
+            case "png" => MediaCodecs.encodeImageIO("png", w, h,
+              (x, y) => resampled.pixel(x, y))
+            case _ => MediaCodecs.encodeBmp(w, h, (x, y) => resampled.pixel(x, y))
+          }
+          r.copy(width = w, height = h, payload = payload)
         } else {
           val avi = MediaCodecs.decodeAvi(r.payload)
           val small = avi.frames.map(MediaCodecs.resampleBmp(_, w, h))

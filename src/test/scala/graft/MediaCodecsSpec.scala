@@ -274,6 +274,72 @@ class MediaCodecsSpec extends SparkSpec {
     }
   }
 
+  test("PNG encode/decode round-trip is LOSSLESS (exact pixels via JDK ImageIO)") {
+    val px = Array(
+      (255, 0, 0), (0, 255, 0), (0, 0, 255),
+      (10, 20, 30), (40, 50, 60), (70, 80, 90))
+    val bytes = MediaCodecs.encodeImageIO("png", 3, 2, (x, y) => px(y * 3 + x))
+    assert((bytes(1) & 0xff) == 'P' && (bytes(2) & 0xff) == 'N') // PNG magic
+    val img = MediaCodecs.decodeImage(bytes)
+    assert(img.width == 3 && img.height == 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(img.pixel(x, y) == px(y * 3 + x), s"($x,$y)")
+  }
+
+  test("JPEG decode is deterministic and faithful within lossy tolerance") {
+    val w = 24; val h = 18
+    // Smooth gradient — JPEG's favorable case, tight tolerance meaningful.
+    val px = (x: Int, y: Int) => (x * 10, y * 12, (x + y) * 5)
+    val bytes = MediaCodecs.encodeImageIO("jpg", w, h, px)
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) // JFIF magic
+    val a = MediaCodecs.decodeImage(bytes)
+    val b = MediaCodecs.decodeImage(bytes)
+    assert(a.width == w && a.height == h)
+    assert(java.util.Arrays.equals(a.rgb, b.rgb), "JPEG decode not deterministic")
+    // Mean per-channel error under 8/255 on a smooth gradient.
+    var err = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r0, g0, b0) = px(x, y)
+      val (r1, g1, b1) = a.pixel(x, y)
+      err += math.abs(r0 - r1) + math.abs(g0 - g1) + math.abs(b0 - b1)
+    }
+    val meanErr = err.toDouble / (w * h * 3)
+    assert(meanErr < 8.0, s"mean per-channel JPEG error $meanErr")
+  }
+
+  test("JPEG/PNG rows flow through the full Spark path: features, format-preserving resize") {
+    val media = Multimodal.synthesize(spark, 4242L, 200L)
+    val rows = media.collect()
+    val jpegs = rows.filter(_.kind == "jpeg")
+    val pngs = rows.filter(_.kind == "png")
+    assert(jpegs.nonEmpty && pngs.nonEmpty)
+    // PNG payloads decode EXACTLY to the synthesizer's pixel function.
+    pngs.take(5).foreach { r =>
+      val img = MediaCodecs.decodeImage(r.payload)
+      assert(img.width == r.width && img.height == r.height)
+      val v = graft.synth.Rng.at(4242L, r.media_id, 100L)
+      assert(img.pixel(0, 0) == (((v & 0xff).toInt,
+        ((v >>> 8) & 0xff).toInt, ((v >>> 16) & 0xff).toInt)))
+    }
+    // Features extract for every row, all five kinds.
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 200)
+    assert(feats.map(_.kind).toSet ==
+      Set("image", "jpeg", "png", "audio", "video"))
+    // Resize preserves each row's FORMAT (no silent transcode).
+    val resized = Multimodal.resize(media, 8).collect()
+    resized.filter(r => r.kind == "jpeg" && math.max(r.width, r.height) <= 8)
+      .take(3).foreach { r =>
+        assert((r.payload(0) & 0xff) == 0xff && (r.payload(1) & 0xff) == 0xd8)
+        val img = MediaCodecs.decodeImage(r.payload)
+        assert(img.width == r.width && img.height == r.height)
+      }
+    resized.filter(_.kind == "png").take(3).foreach { r =>
+      assert((r.payload(1) & 0xff) == 'P')
+      assert(math.max(r.width, r.height) <= 8)
+    }
+  }
+
   test("corrupt payload in a batch quarantines the row; the batch completes") {
     import spark.implicits._
     val good = Multimodal.synthesize(spark, 4242L, 30L).collect().toSeq
