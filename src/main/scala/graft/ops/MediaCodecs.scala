@@ -4,18 +4,19 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 /** Pure-JVM codecs: hand-rolled byte-level parsers for the uncompressed
   * containers — 24-bit BMP (BITMAPINFOHEADER), PCM16 WAV (RIFF), AVI with
-  * uncompressed DIB ('00db') video frames (RIFF) — plus COMPRESSED image
-  * formats (JPEG, PNG) through the JDK's own `javax.imageio` (the JDK
-  * ships libjpeg/zlib ports; no external codec library involved).
+  * uncompressed DIB ('00db') video frames (RIFF) — plus COMPRESSED
+  * formats with no external library: JPEG and PNG images through the
+  * JDK's own `javax.imageio` (the JDK ships libjpeg/zlib ports), and
+  * G.711 µ-law/A-law companded audio through hand-rolled ITU-T tables.
   *
   * All image decodes converge on one struct ([[Bmp]]: row-major top-down
-  * RGB), so every image kernel — features, resize, frame handling — works
-  * identically on BMP, JPEG, and PNG. PNG round-trips losslessly (exact
-  * pixels asserted in spec); JPEG decode is deterministic for a given JRE
-  * (asserted). Compressed AUDIO/VIDEO codecs (MP3, H.264) remain out of
-  * scope: the JDK carries no decoder for them and the sandbox ships no
-  * codec libraries — the container layer, the part a Spark pipeline owns,
-  * is fully exercised without them.
+  * RGB) and all audio decodes on 16-bit linear [[Wav]] samples, so every
+  * kernel works identically across formats. PNG round-trips losslessly
+  * (exact pixels asserted in spec); JPEG decode is deterministic for a
+  * given JRE (asserted); G.711 expansion is table-exact. MP3 and H.264
+  * remain out of scope: the JDK carries no decoder for them and the
+  * sandbox ships no codec libraries — the container layer, the part a
+  * Spark pipeline owns, is fully exercised without them.
   *
   * Everything here is a pure function over byte arrays: it runs inside
   * `mapPartitions` batches on executors, never on the driver.
@@ -130,10 +131,6 @@ object MediaCodecs {
     Bmp(width, height, rgb)
   }
 
-  /** Nearest-neighbor resample — a REAL pixel kernel (not a metadata fake):
-    * deterministic, codec-free, and the resize semantics a training
-    * pipeline's thumbnail stage needs.
-    */
   /** Encode via the JDK's ImageIO: `format` is "jpg"/"jpeg" (lossy,
     * deterministic per JRE) or "png" (lossless). Same pixel-function shape
     * as [[encodeBmp]], so the synthesizer treats all image formats alike.
@@ -193,6 +190,10 @@ object MediaCodecs {
     Bmp(w, h, rgb)
   }
 
+  /** Nearest-neighbor resample — a REAL pixel kernel (not a metadata fake):
+    * deterministic, codec-free, and the resize semantics a training
+    * pipeline's thumbnail stage needs.
+    */
   def resampleBmp(img: Bmp, newWidth: Int, newHeight: Int): Bmp = {
     require(newWidth > 0 && newHeight > 0)
     val out = new Array[Byte](newWidth * newHeight * 3)
@@ -234,6 +235,72 @@ object MediaCodecs {
     buf.putInt(dataSize)
     var i = 0
     while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  // --- G.711 companded audio (µ-law / A-law) -------------------------------
+  // COMPRESSED telephony audio decoded with pure 256-entry tables — the
+  // ITU-T G.711 log-companding standard (public-domain reference
+  // algorithm), hand-rolled like the containers; no codec library.
+
+  private val mulawTable: Array[Short] = Array.tabulate(256) { b =>
+    val u = ~b & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0xf
+    val x = (((mant << 3) + 0x84) << exp) - 0x84
+    (if ((u & 0x80) != 0) -x else x).toShort
+  }
+
+  private val alawTable: Array[Short] = Array.tabulate(256) { b =>
+    val a = b ^ 0x55
+    val mant = (a & 0xf) << 4
+    val x = ((a >> 4) & 7) match {
+      case 0 => mant + 8
+      case 1 => mant + 0x108
+      case e => (mant + 0x108) << (e - 1)
+    }
+    (if ((a & 0x80) != 0) x else -x).toShort // sign bit SET = positive (A-law)
+  }
+
+  /** Expand one G.711 codeword to 16-bit linear. */
+  def decodeG711(b: Byte, aLaw: Boolean): Short =
+    if (aLaw) alawTable(b & 0xff) else mulawTable(b & 0xff)
+
+  /** Nearest-codeword G.711 encoder (synthesizer/tests): by construction
+    * the exact inverse of the decode table at representable values.
+    */
+  def encodeG711(s: Short, aLaw: Boolean): Byte = {
+    val t = if (aLaw) alawTable else mulawTable
+    var best = 0; var bestD = Int.MaxValue; var i = 0
+    while (i < 256) {
+      val d = math.abs(t(i) - s)
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best.toByte
+  }
+
+  /** Encode a G.711 WAV (fmt tag 7 = µ-law, 6 = A-law; 8 bits/sample). */
+  def encodeWavG711(sampleRate: Int, channels: Int, samples: Array[Short],
+                    aLaw: Boolean): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0)
+    val dataSize = samples.length
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)
+    buf.putShort(if (aLaw) 6 else 7) // WAVE_FORMAT_ALAW / _MULAW
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels) // byte rate (1 byte/sample)
+    buf.putShort(channels.toShort) // block align
+    buf.putShort(8) // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { buf.put(encodeG711(samples(i), aLaw)); i += 1 }
     buf.array()
   }
 
@@ -406,8 +473,11 @@ object MediaCodecs {
     Avi(width, height, fps, fs)
   }
 
-  /** Decode PCM16 WAV: chunk walk (fmt may be followed by LIST/fact etc.
-    * before data — real-world files do this), strict on format fields.
+  /** Decode WAV: chunk walk (fmt may be followed by LIST/fact etc. before
+    * data — real-world files do this), strict on format fields. Accepts
+    * PCM16 (fmt 1) plus COMPRESSED G.711 A-law/µ-law (fmt 6/7, 8-bit
+    * codewords expanded to 16-bit linear via the ITU-T tables) — every
+    * downstream audio kernel sees uniform 16-bit samples.
     */
   def decodeWavPcm16(bytes: Array[Byte]): Wav = {
     require(bytes.length >= 44, s"truncated WAV header: ${bytes.length} bytes")
@@ -419,6 +489,7 @@ object MediaCodecs {
     var off = 12
     var sampleRate = -1
     var channels = -1
+    var fmtTag = -1
     var samples: Array[Short] = null
     while (off + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
       val id = fourcc(off)
@@ -428,18 +499,30 @@ object MediaCodecs {
       id match {
         case "fmt " =>
           require(size >= 16, s"fmt chunk too small: $size")
-          val fmt = buf.getShort(off + 8)
-          require(fmt == 1, s"unsupported audio format $fmt (only PCM)")
+          fmtTag = buf.getShort(off + 8)
+          require(fmtTag == 1 || fmtTag == 6 || fmtTag == 7,
+            s"unsupported audio format $fmtTag (PCM16, A-law, µ-law)")
           channels = buf.getShort(off + 10)
           sampleRate = buf.getInt(off + 12)
           val bits = buf.getShort(off + 22)
-          require(bits == 16, s"unsupported bits/sample $bits")
+          require(bits == (if (fmtTag == 1) 16 else 8),
+            s"unsupported bits/sample $bits for format $fmtTag")
         case "data" =>
           require(sampleRate > 0, "data chunk before fmt chunk")
-          samples = new Array[Short](size / 2)
-          var i = 0
-          while (i < samples.length) {
-            samples(i) = buf.getShort(off + 8 + i * 2); i += 1
+          if (fmtTag == 1) {
+            samples = new Array[Short](size / 2)
+            var i = 0
+            while (i < samples.length) {
+              samples(i) = buf.getShort(off + 8 + i * 2); i += 1
+            }
+          } else {
+            // G.711: expand each companded byte to 16-bit linear.
+            val aLaw = fmtTag == 6
+            samples = new Array[Short](size)
+            var i = 0
+            while (i < samples.length) {
+              samples(i) = decodeG711(bytes(off + 8 + i), aLaw); i += 1
+            }
           }
         case _ => // skip unknown chunk (LIST, fact, ...)
       }

@@ -85,8 +85,15 @@ object Multimodal {
           val nSamples = 64 + Rng.nextInt(seed, i, 5, 960)
           val samples = Array.tabulate(nSamples)(j =>
             (Rng.at(seed, i, 200L + j) & 0xffffL).toShort)
-          MediaRow(i, kind, MediaCodecs.encodeWavPcm16(rate, 1, samples),
-            0, 0, rate, 0)
+          // Two in three audio rows carry G.711-companded codewords (µ-law
+          // or A-law) — the COMPRESSED telephony format; the decoder
+          // expands them to the same 16-bit linear samples PCM rows carry.
+          val payload = Rng.nextInt(seed, i, 9, 3) match {
+            case 0 => MediaCodecs.encodeWavPcm16(rate, 1, samples)
+            case 1 => MediaCodecs.encodeWavG711(rate, 1, samples, aLaw = false)
+            case _ => MediaCodecs.encodeWavG711(rate, 1, samples, aLaw = true)
+          }
+          MediaRow(i, kind, payload, 0, 0, rate, 0)
         case _ =>
           val w = 4 + Rng.nextInt(seed, i, 5, 16)
           val h = 4 + Rng.nextInt(seed, i, 6, 16)

@@ -340,6 +340,54 @@ class MediaCodecsSpec extends SparkSpec {
     }
   }
 
+  test("G.711 µ-law/A-law: known vectors, companding round-trip, WAV expansion") {
+    // ITU-T known vectors: µ-law 0xFF is linear 0; A-law 0xD5 (^0x55 =
+    // 0x80: sign bit SET = positive, segment 0, mantissa 0) is +8.
+    assert(MediaCodecs.decodeG711(0xff.toByte, aLaw = false) == 0)
+    assert(MediaCodecs.decodeG711(0xd5.toByte, aLaw = true) == 8)
+    // Sign symmetry: flipping the sign bit negates the decoded value.
+    for (b <- 0 until 128) {
+      assert(MediaCodecs.decodeG711(b.toByte, aLaw = false) ==
+        -MediaCodecs.decodeG711((b | 0x80).toByte, aLaw = false).toInt)
+      assert(MediaCodecs.decodeG711(b.toByte, aLaw = true) ==
+        -MediaCodecs.decodeG711((b | 0x80).toByte, aLaw = true).toInt)
+    }
+    // Companding round-trip: log quantization error bounded by half the
+    // top-segment step (512 µ-law / 512 A-law at 16-bit scale), and tight
+    // (≤ 4 / ≤ 8) at small amplitudes — the defining G.711 property.
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 2000; aLaw <- Seq(false, true)) {
+      val x = (rnd.nextInt(64000) - 32000).toShort
+      val back = MediaCodecs.decodeG711(MediaCodecs.encodeG711(x, aLaw), aLaw)
+      assert(math.abs(back - x) <= 520, s"x=$x back=$back aLaw=$aLaw")
+    }
+    for (x <- -100 to 100) {
+      val backU = MediaCodecs.decodeG711(
+        MediaCodecs.encodeG711(x.toShort, aLaw = false), aLaw = false)
+      assert(math.abs(backU - x) <= 4, s"µ-law small-amp x=$x back=$backU")
+      val backA = MediaCodecs.decodeG711(
+        MediaCodecs.encodeG711(x.toShort, aLaw = true), aLaw = true)
+      assert(math.abs(backA - x) <= 8, s"A-law small-amp x=$x back=$backA")
+    }
+    // WAV G.711 containers expand EXACTLY to the per-codeword table values.
+    val src = Array.tabulate(300)(j => ((j * 431) % 30000 - 15000).toShort)
+    for (aLaw <- Seq(false, true)) {
+      val wavBytes = MediaCodecs.encodeWavG711(8000, 1, src, aLaw)
+      val wav = MediaCodecs.decodeWavPcm16(wavBytes)
+      assert(wav.sampleRate == 8000 && wav.samples.length == 300)
+      val expected = src.map(s =>
+        MediaCodecs.decodeG711(MediaCodecs.encodeG711(s, aLaw), aLaw))
+      assert(java.util.Arrays.equals(wav.samples, expected))
+    }
+    // Synthesized G.711 rows flow through the audio kernel: RMS close to
+    // the PCM encoding of the same source (companding error only).
+    val pcm = Multimodal.audioFeatures(
+      MediaCodecs.encodeWavPcm16(8000, 1, src), 8)
+    val ulaw = Multimodal.audioFeatures(
+      MediaCodecs.encodeWavG711(8000, 1, src, aLaw = false), 8)
+    assert(math.abs(pcm(0) - ulaw(0)) < 0.01f, s"RMS ${pcm(0)} vs ${ulaw(0)}")
+  }
+
   test("corrupt payload in a batch quarantines the row; the batch completes") {
     import spark.implicits._
     val good = Multimodal.synthesize(spark, 4242L, 30L).collect().toSeq
