@@ -149,9 +149,11 @@ object IcebergishTable {
     * (staged + promoted, or freshly written). Because each commit records
     * only its own delta over a concrete parent manifest, two writers
     * appending CONCURRENTLY — other threads or other JVMs — are both safe:
-    * the manifest file is claimed with CREATE_NEW (the filesystem
-    * arbitrates snapshot numbers), and a writer that loses the race simply
-    * re-merges onto the winner's manifest and tries the next number. The
+    * the manifest NAME is claimed with a kernel-atomic hard link over
+    * fully-written content (the filesystem arbitrates snapshot numbers,
+    * and a visible manifest is complete by construction), and a writer
+    * that loses the race simply re-merges onto the winner's manifest and
+    * tries the next number. The
     * reference's whole design is concurrent producers feeding one load
     * (/root/reference/src/sharding.rs:195-288); this is the commit-protocol
     * side of that contract.
@@ -163,7 +165,7 @@ object IcebergishTable {
     *
     * The per-table monitor is an in-JVM fast path only (saves CAS churn
     * between threads and keeps streamCommit's promote window serialized per
-    * query); correctness across JVMs comes from the CREATE_NEW claim.
+    * query); correctness across JVMs comes from the hard-link claim.
     */
   private def commit(table: String, schemaJson: String,
                      parts: Seq[Int], rows: Long,
@@ -294,40 +296,87 @@ object IcebergishTable {
            |"sizes":[${sizes.mkString(",")}],
            |"files":[${files.mkString(",")}],
            |"schema":$effSchemaJson}""".stripMargin.replace("\n", "")
-      try {
-        Files.write(d.resolve(s"snap-$target.json"),
-          manifest.getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
+      // ATOMIC publication: full bytes to a private hidden temp file, then
+      // the snapshot NAME claimed with a hard link — kernel-atomic EEXIST
+      // arbitration, and the linked name carries COMPLETE content or
+      // nothing. (A plain CREATE_NEW + content write would let a racing
+      // committer read a half-written manifest and misclassify a healthy
+      // concurrent commit as torn — silently dropping its files.) A
+      // crashed writer leaves only a hidden temp file, never a partial
+      // snap-*.json.
+      if (publishAtomic(d, s"snap-$target.json",
+          manifest.getBytes(StandardCharsets.UTF_8))) {
         committed = target
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // Lost the race. A VALID colliding manifest is a completed
-          // concurrent commit — it becomes the new merge base (VERSION may
-          // lag the winner's swap, so merge from the manifest directly). A
-          // TORN one is a crashed writer that never swapped VERSION (its
-          // files are unreferenced orphans): step the number past it
-          // without merging — never clobber, never inherit garbage.
-          val collided = d.resolve(s"snap-$target.json")
-          val valid =
-            try { manifestFilesStrict(table, target,
-              new String(Files.readAllBytes(collided), StandardCharsets.UTF_8))
-              true
-            } catch { case _: Exception => false }
-          if (valid) base = target
-          target += 1
+      } else {
+        // Lost the race. A published manifest is complete by construction,
+        // so a PARSEABLE collision is a real concurrent commit — it
+        // becomes the new merge base (VERSION may lag the winner's swap,
+        // so merge from the manifest directly). An unparseable one can
+        // only be external corruption: step the number past it without
+        // merging — never clobber, never inherit garbage. The probe
+        // validates BOTH fields a merge consumes (files + schema), so a
+        // chosen base can never wedge the retry loop.
+        val collided = d.resolve(s"snap-$target.json")
+        val valid =
+          try {
+            val json = new String(Files.readAllBytes(collided),
+              StandardCharsets.UTF_8)
+            manifestFilesStrict(table, target, json)
+            org.apache.spark.sql.types.DataType.fromJson(
+              schemaJsonFrom(json, table, target))
+            true
+          } catch { case _: Exception => false }
+        if (valid) base = target
+        target += 1
       }
     }
-    // Atomic pointer swap = Iceberg's metadata commit. Monotonic repair:
-    // if a racing swap with a HIGHER snapshot landed between our write and
-    // a stale re-read, never move the pointer backwards.
-    if (currentSnapshot(table) < committed) {
-      val tmp = d.resolve("VERSION.tmp")
-      Files.write(tmp, committed.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, d.resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    advanceVersionTo(d, committed)
     committed
+  }
+
+  /** Write `bytes` under `name` atomically-or-not-at-all: full content to
+    * a private temp file, then claim the name with a hard link (the link()
+    * syscall fails with EEXIST atomically in the kernel — unlike a
+    * CREATE_NEW-then-write, the visible name can never hold partial
+    * content). Returns false when the name was already taken; the temp
+    * file is always removed.
+    */
+  private[io] def publishAtomic(d: Path, name: String,
+                            bytes: Array[Byte]): Boolean = {
+    val tmp = d.resolve(
+      s".$name.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.write(tmp, bytes)
+    try {
+      Files.createLink(d.resolve(name), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Advance the VERSION pointer to at least `committed`: per-attempt
+    * UNIQUE temp names (a fixed shared temp path would let one racer
+    * truncate another's half-moved content) and a re-check loop — a racing
+    * swap can transiently move the pointer backwards past ours, so each
+    * writer re-swaps until VERSION >= its own snapshot; two racers
+    * converge to the max (eventual monotonicity), and readers meanwhile
+    * always see SOME complete committed snapshot.
+    */
+  private def advanceVersionTo(d: Path, committed: Int): Unit = {
+    val v = d.resolve("VERSION")
+    def current(): Int =
+      if (Files.exists(v))
+        new String(Files.readAllBytes(v), StandardCharsets.UTF_8).trim.toInt
+      else -1
+    var guard = 0
+    while (current() < committed && guard < 1000) {
+      val tmp = d.resolve(
+        s".VERSION.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      Files.write(tmp, committed.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, v, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      guard += 1
+    }
   }
 
   /** Reject a write whose bucket layout disagrees with the table's
@@ -418,6 +467,21 @@ object IcebergishTable {
     (promoted, touched)
   }
 
+
+  /** Run an append-type commit, deleting the just-promoted `added` files
+    * when the commit is REJECTED with a typed error (SchemaMismatch,
+    * CommitConflict, …) — a refused write must not leave orphans behind
+    * for the vacuum, mirroring rewriteBuckets' conflict cleanup.
+    */
+  private def commitOrCleanup(table: String, added: Seq[String])
+                             (body: => Int): Int =
+    try body
+    catch {
+      case e: graft.GraftError =>
+        added.foreach(f => Files.deleteIfExists(dir(table).resolve(f)))
+        throw e
+    }
+
   /** Write `df` hash-bucketed on `keyCol` into `numParts` partitions,
     * creating a new snapshot. `mode` Overwrite replaces the whole table
     * (including any compaction tombstones — it is a re-create, EXCLUSIVE
@@ -437,8 +501,10 @@ object IcebergishTable {
     if (mode == SaveMode.Append) {
       requireSpecMatch(table, keyCol, numParts)
       val (added, _) = stagePromote(withPart, table, wipeTouched = false)
-      commit(table, withPart.schema.json, 0 until numParts, 0L,
-        bucketKey = Some((keyCol, numParts)), added = added)
+      commitOrCleanup(table, added) {
+        commit(table, withPart.schema.json, 0 until numParts, 0L,
+          bucketKey = Some((keyCol, numParts)), added = added)
+      }
     } else {
       withPart.write
         .mode(mode)
@@ -480,10 +546,12 @@ object IcebergishTable {
     val (added, touched) =
       stagePromote(df, table, wipeTouched = true, alsoReplace = replaceParts)
     val touchedSet = touched.toSet
-    commit(table, df.schema.json, 0 until numParts, 0L,
-      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None,
-      added = added,
-      dropParent = f => touchedSet.contains(bucketOfPath(f)))
+    commitOrCleanup(table, added) {
+      commit(table, df.schema.json, 0 until numParts, 0L,
+        bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None,
+        added = added,
+        dropParent = f => touchedSet.contains(bucketOfPath(f)))
+    }
   }
 
   /** APPEND a DataFrame that is already hash-partitioned on `PartCol` into
@@ -496,9 +564,11 @@ object IcebergishTable {
                            keyCol: String = ""): Unit = {
     if (keyCol.nonEmpty) requireSpecMatch(table, keyCol, numParts)
     val (added, _) = stagePromote(df, table, wipeTouched = false)
-    commit(table, df.schema.json, 0 until numParts, 0L,
-      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None,
-      added = added)
+    commitOrCleanup(table, added) {
+      commit(table, df.schema.json, 0 until numParts, 0L,
+        bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None,
+        added = added)
+    }
   }
 
   /** Overwrite only the listed partitions (idempotent resume unit). */
@@ -512,10 +582,12 @@ object IcebergishTable {
     val (added, touched) =
       stagePromote(withPart, table, wipeTouched = true, alsoReplace = parts)
     val touchedSet = touched.toSet
-    commit(table, withPart.schema.json, 0 until numParts, 0L,
-      bucketKey = Some((keyCol, numParts)),
-      added = added,
-      dropParent = f => touchedSet.contains(bucketOfPath(f)))
+    commitOrCleanup(table, added) {
+      commit(table, withPart.schema.json, 0 until numParts, 0L,
+        bucketKey = Some((keyCol, numParts)),
+        added = added,
+        dropParent = f => touchedSet.contains(bucketOfPath(f)))
+    }
   }
 
   /** Parsed current-snapshot manifest metadata for the DSv2 catalog:
@@ -799,7 +871,13 @@ object IcebergishTable {
   def addColumn(table: String, name: String,
                 dataType: org.apache.spark.sql.types.DataType): Unit = {
     import org.apache.spark.sql.types.{StructField, StructType}
-    val (schemaJson, spec) = manifestMeta(table)
+    // Pin the snapshot the evolved schema derives from: two concurrent
+    // addColumn calls would otherwise each commit a schema missing the
+    // other's column (schemaEvolution bypasses the subset resolution by
+    // design) — the loser must abort typed and re-derive.
+    val base = currentSnapshot(table)
+    if (base < 0) throw new graft.TableNotFound(table)
+    val (schemaJson, spec) = manifestMetaAt(table, base)
     val cur = structOf(schemaJson)
     if (cur.fieldNames.exists(_.equalsIgnoreCase(name)))
       throw new graft.InvalidConfig(
@@ -811,12 +889,11 @@ object IcebergishTable {
       dataCols.toSeq ++ Seq(StructField(name, dataType, nullable = true)) ++
         partCols.toSeq)
     val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
-      .getOrElse(snapshotFiles(table, currentSnapshot(table))
-        .map(bucketOfPath).distinct.sorted)
+      .getOrElse(snapshotFiles(table, base).map(bucketOfPath).distinct.sorted)
     // No added files, no dropped parent files — the commit carries the
     // parent's file list forward under the evolved schema.
     commit(table, evolved.json, parts, 0L, bucketKey = spec,
-      schemaEvolution = true)
+      schemaEvolution = true, expectedParent = Some(base))
   }
 
   /** Create an empty table: commit snapshot 0 with the given data schema
@@ -884,7 +961,11 @@ object IcebergishTable {
     // directory-derived commit exclude tombstoned files). Files the target
     // manifest references are live again by definition.
     writeTombstones(table, tombstones(table) -- keep)
-    val tmp = dir(table).resolve("VERSION.tmp")
+    // Rollback deliberately moves the pointer BACKWARDS (exclusive
+    // maintenance op) — direct swap, but with a unique temp name so no
+    // other writer's half-moved temp can ever be truncated.
+    val tmp = dir(table).resolve(
+      s".VERSION.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, snapshot.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir(table).resolve("VERSION"), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -978,10 +1059,15 @@ object IcebergishTable {
     val (schemaJson, spec) = manifestMetaAt(table, startSnap)
     val snap = readSnapshot(spark, table, startSnap)
     val hit = coalesce(cond, lit(false))
-    val touched = snap.where(hit)
-      .select(col(PartCol)).distinct().collect().map(_.getInt(0)).toSet
+    // ONE job yields both the touched-bucket set and the deleted count
+    // (bounded by numParts rows) — not a distinct-collect plus a second
+    // full predicate scan.
+    val perBucket = snap.where(hit)
+      .groupBy(col(PartCol)).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val touched = perBucket.keySet
     if (touched.isEmpty) return 0L
-    val deleted = snap.where(hit).count()
+    val deleted = perBucket.values.sum
     val keep = snap
       .where(col(PartCol).isin(touched.toSeq: _*)).where(!hit)
       .repartition(math.max(1, touched.size), col(PartCol))
@@ -1012,11 +1098,22 @@ object IcebergishTable {
       .withColumn(PartCol, partExpr(bucketCol, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val touched = up.select(col(PartCol)).distinct()
+      val upBuckets = up.select(col(PartCol)).distinct()
         .collect().map(_.getInt(0)).toSet
-      if (touched.isEmpty) return
-      val existing = readSnapshot(spark, table, startSnap)
-        .where(col(PartCol).isin(touched.toSeq: _*))
+      if (upBuckets.isEmpty) return
+      val all = readSnapshot(spark, table, startSnap)
+      // When the MERGE keys pin the bucket key, a matching existing row
+      // can only live in an update row's own bucket — prune to those. When
+      // they don't (merge on a surrogate id while bucketed by another
+      // column), an update may MOVE a row across buckets: the old-bucket
+      // copy must be found by a key-pruned scan of the whole table, or it
+      // would silently survive beside the insert (duplicate key).
+      val touched: Set[Int] =
+        if (keyCols.contains(bucketCol)) upBuckets
+        else upBuckets ++ all
+          .join(up.select(keyCols.map(col): _*), keyCols, "left_semi")
+          .select(col(PartCol)).distinct().collect().map(_.getInt(0))
+      val existing = all.where(col(PartCol).isin(touched.toSeq: _*))
       val survivors = existing.join(up.select(keyCols.map(col): _*),
         keyCols, "left_anti")
       val rewritten = survivors
@@ -1066,6 +1163,7 @@ object IcebergishTable {
   def removeOrphans(table: String, olderThanMs: Long = 3600000L): Seq[String] = {
     val d = dir(table)
     if (!exists(table)) throw new graft.TableNotFound(table)
+    val cur = currentSnapshot(table)
     val referenced: Set[String] = {
       val s = Files.list(d)
       val manifests =
@@ -1075,7 +1173,15 @@ object IcebergishTable {
       manifests.flatMap { m =>
         val snap = m.getFileName.toString.stripPrefix("snap-")
           .stripSuffix(".json").toInt
-        snapshotFiles(table, snap)
+        // An unparseable NON-current manifest (external corruption — the
+        // commit protocol publishes complete-or-nothing) contributes no
+        // files and must not wedge the vacuum forever; a corrupt CURRENT
+        // manifest stays loud (deleting against it could reap live data).
+        try snapshotFiles(table, snap)
+        catch {
+          case e: graft.ManifestCorrupted =>
+            if (snap == cur) throw e else Seq.empty
+        }
       }.toSet
     }
     val data = d.resolve("data")

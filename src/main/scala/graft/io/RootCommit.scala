@@ -56,23 +56,24 @@ object RootCommit {
     var next = currentRoot(root) + 1
     var placed = false
     while (!placed) {
-      try {
-        Files.write(dir(root).resolve(s"root-$next.json"),
-          body(next).getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        placed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => next += 1
-      }
+      // Hard-link publication (IcebergishTable.publishAtomic): a visible
+      // root-<n>.json always carries COMPLETE content — a racing publisher
+      // can never read a half-written root manifest.
+      if (IcebergishTable.publishAtomic(dir(root), s"root-$next.json",
+          body(next).getBytes(StandardCharsets.UTF_8))) placed = true
+      else next += 1
     }
-    // Monotonic swap: never move the root pointer backwards over a racing
-    // publisher's higher root.
-    if (currentRoot(root) < next) {
-      val tmp = dir(root).resolve("ROOT_VERSION.tmp")
+    // Advance ROOT_VERSION to at least our root — unique temp names and a
+    // re-check loop so racing swaps converge to the max instead of
+    // regressing or truncating each other (see advanceVersionTo).
+    var guard = 0
+    while (currentRoot(root) < next && guard < 1000) {
+      val tmp = dir(root).resolve(
+        s".ROOT_VERSION.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
       Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, dir(root).resolve("ROOT_VERSION"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      guard += 1
     }
     next
   }

@@ -117,13 +117,10 @@ object GraphOut {
       }
       val deduped = plan(group)
         .observe(obs, metricCols.head, metricCols.tail: _*)
-      // Clear stale files of the pending buckets first: dynamic overwrite
-      // skips buckets that receive zero rows from the new input, and those
-      // stale rows would otherwise be re-counted as current.
-      IcebergishTable.deletePartitionDirs(table, group)
-      // replaceParts = the WHOLE group: a rewritten bucket that came out
-      // empty must still leave the parent manifest (its stale files were
-      // just cleared above).
+      // replaceParts = the WHOLE group: writePrePartitioned clears the
+      // group's (possibly stale) bucket dirs itself before promoting, and
+      // a rewritten bucket that came out empty still leaves the parent
+      // manifest.
       timed("write")(
         IcebergishTable.writePrePartitioned(deduped, table, numParts, keyCol,
           replaceParts = group))

@@ -164,15 +164,39 @@ object MediaCodecs {
   def decodeImage(bytes: Array[Byte]): Bmp = {
     require(bytes.length >= 2, s"truncated image payload: ${bytes.length} bytes")
     if (bytes(0) == 'B' && bytes(1) == 'M') return decodeBmp(bytes)
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalArgumentException(s"image decode failed: $e")
-      }
-    require(img != null, "no ImageIO reader matched the payload (bad magic)")
-    val w = img.getWidth
-    val h = img.getHeight
+    // Header-FIRST probing (reader API, not ImageIO.read): the plausibility
+    // bound on declared dimensions must run BEFORE any raster allocation —
+    // a crafted header claiming huge dimensions would otherwise OOM or
+    // overflow inside the decode, escaping the quarantine net exactly like
+    // the corrupt-BMP case decodeBmp guards against.
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val (w, h, img) =
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext,
+          "no ImageIO reader matched the payload (bad magic)")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val (w0, h0) =
+            try (reader.getWidth(0), reader.getHeight(0))
+            catch {
+              case e: java.io.IOException =>
+                throw new IllegalArgumentException(s"image header decode failed: $e")
+            }
+          require(w0 > 0 && h0 > 0 && w0 <= (1 << 20) && h0 <= (1 << 20) &&
+            w0.toLong * h0 * 3 <= Int.MaxValue,
+            s"implausible dimensions ${w0}x$h0")
+          val decoded =
+            try reader.read(0)
+            catch {
+              case e: java.io.IOException =>
+                throw new IllegalArgumentException(s"image decode failed: $e")
+            }
+          (w0, h0, decoded)
+        } finally reader.dispose()
+      } finally iis.close()
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

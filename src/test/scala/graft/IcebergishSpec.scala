@@ -580,6 +580,19 @@ class IcebergishSpec extends SparkSpec {
     val old = IcebergishTable.readSnapshot(spark, table, s0)
       .select("id", "tag").as[(Long, String)].collect().toMap
     assert(old.size == 40 && old(0L) == "old0")
+
+    // Cross-bucket key move: merging ON A SURROGATE KEY ONLY (id), with an
+    // update that changes the BUCKET key (k) for an existing id — the old
+    // row lives in a bucket the update does not hash into, and must still
+    // be replaced (key-pruned scan widens the touched set), not survive
+    // beside the insert as a duplicate id.
+    IcebergishTable.mergeRows(table,
+      Seq(("moved", 5L, "mv5")).toDF("k", "id", "tag"), Seq("id"))
+    val afterMove = IcebergishTable.read(spark, table)
+      .where(col("id") === 5L)
+      .select("k", "tag").as[(String, String)].collect().toSeq
+    assert(afterMove == Seq(("moved", "mv5")), s"got $afterMove")
+    assert(IcebergishTable.read(spark, table).count() == 45) // no dup id
   }
 
   test("removeOrphans reclaims promote-then-crash leftovers; referenced and staged files survive") {

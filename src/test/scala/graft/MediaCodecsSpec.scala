@@ -392,16 +392,30 @@ class MediaCodecsSpec extends SparkSpec {
     import spark.implicits._
     val good = Multimodal.synthesize(spark, 4242L, 30L).collect().toSeq
     // Three corruption shapes: truncated header, bad magic, empty payload.
+    // A crafted PNG whose header declares raster-overflow dimensions: the
+    // header-first plausibility guard must quarantine it BEFORE any
+    // allocation (not OOM inside ImageIO).
+    val hugePng: Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val ihdr = java.nio.ByteBuffer.allocate(25)
+      ihdr.putInt(13).put("IHDR".getBytes("US-ASCII"))
+        .putInt(100000).putInt(100000) // 3e10 bytes of raster
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .putInt(0) // bogus CRC — header probe doesn't verify it
+      out.write(ihdr.array()); out.toByteArray
+    }
     val bad = Seq(
       good.head.copy(media_id = 9001L, payload = good.head.payload.take(8)),
       good.head.copy(media_id = 9002L,
         payload = Array.fill[Byte](64)(0x5a)),
-      good.head.copy(media_id = 9003L, payload = Array.emptyByteArray))
+      good.head.copy(media_id = 9003L, payload = Array.emptyByteArray),
+      good.head.copy(media_id = 9004L, kind = "png", payload = hugePng))
     val mixed = spark.createDataset(good ++ bad).repartition(4)
     val results = Multimodal.extractFeaturesQuarantined(mixed).collect()
-    assert(results.length == 33) // every row accounted for — batch completed
+    assert(results.length == 34) // every row accounted for — batch completed
     val q = results.filter(_.error != null)
-    assert(q.map(_.media_id).sorted.toSeq == Seq(9001L, 9002L, 9003L),
+    assert(q.map(_.media_id).sorted.toSeq == Seq(9001L, 9002L, 9003L, 9004L),
       s"quarantined: ${q.map(r => r.media_id -> r.error).toSeq}")
     assert(q.forall(r => r.feature == null && r.error.contains("failed to decode")))
     // Healthy rows produced identical features to the strict path.
