@@ -507,6 +507,29 @@ class IcebergishSpec extends SparkSpec {
       rowsBefore + 2 * perChild * seedRows)
   }
 
+  test("part-filtered manifest reads prune at the FILE level (the COW/stream bucket-scoping premise)") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-prune").toString + "/t"
+    IcebergishTable.write(
+      spark.range(0, 1000).select(concat(lit("k"), col("id") % 37).as("k"),
+        col("id").as("v")),
+      table, "k", 8)
+    val pruned = IcebergishTable.read(spark, table)
+      .where(col(IcebergishTable.PartCol).isin(2, 5))
+    // Materialize THIS df's own query execution, then read the scan node's
+    // metrics from the same plan instance.
+    assert(pruned.collect().length > 0)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in plan"))
+    assert(scan.toString.contains("PartitionFilters: ["), scan.toString.take(400))
+    // Only the two requested buckets' files are read — deleteWhere/
+    // mergeRows/the streaming anti-join read exactly the buckets they
+    // touch, not the table. (One file per bucket by construction.)
+    assert(scan.metrics("numFiles").value == 2,
+      s"files read: ${scan.metrics("numFiles").value}")
+  }
+
   test("COW deleteWhere rewrites only touched buckets; time travel keeps deleted rows") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft-del").toString + "/t"
