@@ -345,8 +345,8 @@ object IcebergishTable {
                             bytes: Array[Byte]): Boolean = {
     val tmp = d.resolve(
       s".$name.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    Files.write(tmp, bytes)
     try {
+      Files.write(tmp, bytes) // inside try: a failed write must not leak tmp
       Files.createLink(d.resolve(name), tmp)
       true
     } catch {
@@ -354,27 +354,44 @@ object IcebergishTable {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Advance the VERSION pointer to at least `committed`: per-attempt
-    * UNIQUE temp names (a fixed shared temp path would let one racer
-    * truncate another's half-moved content) and a re-check loop — a racing
-    * swap can transiently move the pointer backwards past ours, so each
-    * writer re-swaps until VERSION >= its own snapshot; two racers
-    * converge to the max (eventual monotonicity), and readers meanwhile
-    * always see SOME complete committed snapshot.
+  private def advanceVersionTo(d: Path, committed: Int): Unit =
+    advancePointer(d, "VERSION", committed,
+      n => Files.exists(d.resolve(s"snap-$n.json")))
+
+  /** Advance a pointer file to the HIGHEST published snapshot (at least
+    * `committed`). Per-attempt UNIQUE temp names (a fixed shared temp path
+    * would let one racer truncate another's half-moved content), and the
+    * loop re-derives its target from the PUBLISHED manifests after every
+    * move: a plain "re-swap until pointer >= mine" converges only for the
+    * racer whose move lands last — if A(5)'s stale move lands after B(6)
+    * already returned, only A is still running, and A must discover B's
+    * published snapshot and repair the pointer itself. The final mover
+    * always re-checks after its own move (program order), so any
+    * interleaving ends with the pointer at the highest contiguous
+    * published snapshot; readers meanwhile always see SOME complete
+    * committed snapshot.
     */
-  private def advanceVersionTo(d: Path, committed: Int): Unit = {
-    val v = d.resolve("VERSION")
+  private[io] def advancePointer(d: Path, pointer: String, committed: Int,
+                                 published: Int => Boolean): Unit = {
+    val v = d.resolve(pointer)
     def current(): Int =
       if (Files.exists(v))
         new String(Files.readAllBytes(v), StandardCharsets.UTF_8).trim.toInt
       else -1
+    def highestPublished(): Int = {
+      var h = math.max(current(), committed)
+      while (published(h + 1)) h += 1
+      h
+    }
     var guard = 0
-    while (current() < committed && guard < 1000) {
+    var target = highestPublished()
+    while (current() < target && guard < 1000) {
       val tmp = d.resolve(
-        s".VERSION.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-      Files.write(tmp, committed.toString.getBytes(StandardCharsets.UTF_8))
+        s".$pointer.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      Files.write(tmp, target.toString.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, v, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      target = highestPublished() // a racer may have published more
       guard += 1
     }
   }
@@ -468,6 +485,17 @@ object IcebergishTable {
   }
 
 
+  /** Validate an incoming write's schema against the CURRENT manifest
+    * BEFORE any files are staged, promoted, or — on the partition-
+    * overwrite paths — committed bucket files wiped: a refused write must
+    * refuse with the table intact. (The commit-time resolution still runs;
+    * it covers the rare CAS re-merge onto a parent evolved between this
+    * check and the commit.)
+    */
+  private def preValidateAppendSchema(
+      table: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    if (exists(table)) resolveAppendSchema(table, schema.json, manifestMeta(table)._1)
+
   /** Run an append-type commit, deleting the just-promoted `added` files
     * when the commit is REJECTED with a typed error (SchemaMismatch,
     * CommitConflict, …) — a refused write must not leave orphans behind
@@ -500,6 +528,7 @@ object IcebergishTable {
       .repartition(numParts, col(PartCol))
     if (mode == SaveMode.Append) {
       requireSpecMatch(table, keyCol, numParts)
+      preValidateAppendSchema(table, withPart.schema)
       val (added, _) = stagePromote(withPart, table, wipeTouched = false)
       commitOrCleanup(table, added) {
         commit(table, withPart.schema.json, 0 until numParts, 0L,
@@ -543,15 +572,18 @@ object IcebergishTable {
                           keyCol: String = "",
                           replaceParts: Seq[Int] = Seq.empty): Unit = {
     if (keyCol.nonEmpty) requireSpecMatch(table, keyCol, numParts)
+    preValidateAppendSchema(table, df.schema)
     val (added, touched) =
       stagePromote(df, table, wipeTouched = true, alsoReplace = replaceParts)
     val touchedSet = touched.toSet
-    commitOrCleanup(table, added) {
-      commit(table, df.schema.json, 0 until numParts, 0L,
-        bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None,
-        added = added,
-        dropParent = f => touchedSet.contains(bucketOfPath(f)))
-    }
+    // NO cleanup-on-reject here: the wipe above already removed the
+    // committed copies of the touched buckets, so the promoted replacement
+    // files are the ONLY copy — deleting them on a (pre-validated-away,
+    // hence near-impossible) commit rejection would destroy data.
+    commit(table, df.schema.json, 0 until numParts, 0L,
+      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None,
+      added = added,
+      dropParent = f => touchedSet.contains(bucketOfPath(f)))
   }
 
   /** APPEND a DataFrame that is already hash-partitioned on `PartCol` into
@@ -563,6 +595,7 @@ object IcebergishTable {
   def appendPrePartitioned(df: DataFrame, table: String, numParts: Int,
                            keyCol: String = ""): Unit = {
     if (keyCol.nonEmpty) requireSpecMatch(table, keyCol, numParts)
+    preValidateAppendSchema(table, df.schema)
     val (added, _) = stagePromote(df, table, wipeTouched = false)
     commitOrCleanup(table, added) {
       commit(table, df.schema.json, 0 until numParts, 0L,
@@ -579,15 +612,16 @@ object IcebergishTable {
       .withColumn(PartCol, partExpr(keyCol, numParts))
       .where(col(PartCol).isin(parts: _*))
       .repartition(math.max(1, parts.size), col(PartCol))
+    preValidateAppendSchema(table, withPart.schema)
     val (added, touched) =
       stagePromote(withPart, table, wipeTouched = true, alsoReplace = parts)
     val touchedSet = touched.toSet
-    commitOrCleanup(table, added) {
-      commit(table, withPart.schema.json, 0 until numParts, 0L,
-        bucketKey = Some((keyCol, numParts)),
-        added = added,
-        dropParent = f => touchedSet.contains(bucketOfPath(f)))
-    }
+    // See writePrePartitioned: after the wipe the promoted files are the
+    // only copy of the touched buckets — never cleanup-on-reject here.
+    commit(table, withPart.schema.json, 0 until numParts, 0L,
+      bucketKey = Some((keyCol, numParts)),
+      added = added,
+      dropParent = f => touchedSet.contains(bucketOfPath(f)))
   }
 
   /** Parsed current-snapshot manifest metadata for the DSv2 catalog:

@@ -47,9 +47,10 @@ object RootCommit {
     }
     Files.createDirectories(dir(root))
     // Same cross-JVM protocol as the table commit (IcebergishTable.commit):
-    // CREATE_NEW lets the filesystem arbitrate the root number between two
-    // racing publishers (e.g. two builds sharing a workDir) — each claims
-    // its own root-<n>.json instead of clobbering the other's.
+    // the root NAME is claimed with a kernel-atomic hard link over fully-
+    // written content, so two racing publishers (e.g. two builds sharing a
+    // workDir) each claim their own COMPLETE root-<n>.json — no clobbering
+    // and no partially-visible root manifest.
     def body(n: Int): String = tables.toSeq.sorted
       .map { case (t, s) => s""""${t.replace("\"", "\\\"")}":$s""" }
       .mkString(s"""{"root":$n,"tables":{""", ",", "}}")
@@ -63,18 +64,12 @@ object RootCommit {
           body(next).getBytes(StandardCharsets.UTF_8))) placed = true
       else next += 1
     }
-    // Advance ROOT_VERSION to at least our root — unique temp names and a
-    // re-check loop so racing swaps converge to the max instead of
-    // regressing or truncating each other (see advanceVersionTo).
-    var guard = 0
-    while (currentRoot(root) < next && guard < 1000) {
-      val tmp = dir(root).resolve(
-        s".ROOT_VERSION.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, dir(root).resolve("ROOT_VERSION"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      guard += 1
-    }
+    // Advance ROOT_VERSION through the shared pointer protocol: unique
+    // temp names + re-derive-from-published-roots loop, so racing swaps
+    // converge to the highest published root (see
+    // IcebergishTable.advancePointer for the interleaving this fixes).
+    IcebergishTable.advancePointer(dir(root), "ROOT_VERSION", next,
+      n => Files.exists(dir(root).resolve(s"root-$n.json")))
     next
   }
 

@@ -182,16 +182,26 @@ object MediaCodecs {
           val (w0, h0) =
             try (reader.getWidth(0), reader.getHeight(0))
             catch {
-              case e: java.io.IOException =>
+              // JDK ImageIO readers throw unwrapped RuntimeExceptions on
+              // fuzzed input (AIOOBE/CMMException/...), not just
+              // IOException — normalize ALL of them into the
+              // quarantine-catchable shape.
+              case e: IllegalArgumentException => throw e
+              case scala.util.control.NonFatal(e) =>
                 throw new IllegalArgumentException(s"image header decode failed: $e")
             }
-          require(w0 > 0 && h0 > 0 && w0 <= (1 << 20) && h0 <= (1 << 20) &&
-            w0.toLong * h0 * 3 <= Int.MaxValue,
+          // Hard pixel cap, not just raster-byte-fits-Int: compressed
+          // formats have no payload-size backstop (a few-KB PNG can
+          // declare 400M px and OOM the decode raster), so bound the
+          // DECLARED pixel count outright — 64M px ≈ 192 MB RGB, far
+          // beyond any training-pipeline thumbnail/feature input.
+          require(w0 > 0 && h0 > 0 && w0.toLong * h0 <= (1L << 26),
             s"implausible dimensions ${w0}x$h0")
           val decoded =
             try reader.read(0)
             catch {
-              case e: java.io.IOException =>
+              case e: IllegalArgumentException => throw e
+              case scala.util.control.NonFatal(e) =>
                 throw new IllegalArgumentException(s"image decode failed: $e")
             }
           (w0, h0, decoded)
@@ -292,17 +302,30 @@ object MediaCodecs {
 
   /** Nearest-codeword G.711 encoder (synthesizer/tests): by construction
     * the exact inverse of the decode table at representable values.
+    * O(1) per sample via a one-time 65536-entry inverse LUT (the naive
+    * 256-way scan per sample was ~256× slower through the synthesizer's
+    * executor hot path).
     */
-  def encodeG711(s: Short, aLaw: Boolean): Byte = {
-    val t = if (aLaw) alawTable else mulawTable
-    var best = 0; var bestD = Int.MaxValue; var i = 0
-    while (i < 256) {
-      val d = math.abs(t(i) - s)
-      if (d < bestD) { bestD = d; best = i }
-      i += 1
+  def encodeG711(s: Short, aLaw: Boolean): Byte =
+    (if (aLaw) alawInverse else mulawInverse)((s & 0xffff) ^ 0x8000)
+
+  private def inverseLut(t: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](65536)
+    var v = -32768
+    while (v <= 32767) {
+      var best = 0; var bestD = Int.MaxValue; var i = 0
+      while (i < 256) {
+        val d = math.abs(t(i) - v)
+        if (d < bestD) { bestD = d; best = i } // first-min: scan semantics
+        i += 1
+      }
+      out((v & 0xffff) ^ 0x8000) = best.toByte
+      v += 1
     }
-    best.toByte
+    out
   }
+  private lazy val mulawInverse: Array[Byte] = inverseLut(mulawTable)
+  private lazy val alawInverse: Array[Byte] = inverseLut(alawTable)
 
   /** Encode a G.711 WAV (fmt tag 7 = µ-law, 6 = A-law; 8 bits/sample). */
   def encodeWavG711(sampleRate: Int, channels: Int, samples: Array[Short],

@@ -246,12 +246,17 @@ object Multimodal {
       case "audio" => audioFeatures(r.payload, dim)
       case _ => videoFeatures(r.payload, dim)
     } catch {
+      // EVERY non-fatal decode failure normalizes to the typed error — a
+      // fuzzed payload can surface as AIOOBE/underflow/etc. from any
+      // parser layer, and at 10^9-row scale each one must be a counted
+      // quarantine row, not a dead executor task.
+      case e: graft.MediaDecodeFailed => throw e
       case e: IllegalArgumentException =>
         throw new graft.MediaDecodeFailed(r.media_id, r.kind,
           Option(e.getMessage).getOrElse(e.toString))
-      case e: java.nio.BufferUnderflowException =>
+      case scala.util.control.NonFatal(e) =>
         throw new graft.MediaDecodeFailed(r.media_id, r.kind,
-          s"truncated container: $e")
+          s"decode failure: $e")
     }
 
   /** Quarantining twin of [[extractFeatures]] — the 10^9-row shape: a
