@@ -5,8 +5,9 @@ import java.nio.{ByteBuffer, ByteOrder}
 /** Pure-JVM codecs: hand-rolled byte-level parsers for the uncompressed
   * containers — 24-bit BMP (BITMAPINFOHEADER), PCM16 WAV (RIFF), AVI with
   * uncompressed DIB ('00db') video frames (RIFF) — plus COMPRESSED
-  * formats with no external library: JPEG and PNG images through the
-  * JDK's own `javax.imageio` (the JDK ships libjpeg/zlib ports), and
+  * formats with no external library: JPEG, PNG, and GIF (LZW,
+  * palette) images through the JDK's own `javax.imageio` (the JDK ships
+  * libjpeg/zlib/LZW ports), and
   * G.711 µ-law/A-law companded audio through hand-rolled ITU-T tables.
   *
   * All image decodes converge on one struct ([[Bmp]]: row-major top-down

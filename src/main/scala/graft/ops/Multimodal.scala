@@ -14,8 +14,8 @@ import graft.synth.Rng
   *
   * Decode kernels, by format:
   *  - image family = 24-bit uncompressed BMP (REAL byte-level decode,
-  *    [[MediaCodecs.decodeBmp]]) plus COMPRESSED JPEG and PNG through the
-  *    JDK's own javax.imageio ([[MediaCodecs.decodeImage]] — no external
+  *    [[MediaCodecs.decodeBmp]]) plus COMPRESSED JPEG, PNG, and GIF through
+  *    the JDK's own javax.imageio ([[MediaCodecs.decodeImage]] — no external
   *    codec library); real nearest-neighbor pixel resampling with
   *    format-preserving re-encode, features computed from actual pixels.
   *  - audio = PCM16 WAV — REAL RIFF chunk-walk decode
@@ -34,7 +34,7 @@ object Multimodal {
 
   final case class MediaRow(
       media_id: Long,
-      kind: String, // image (BMP) | jpeg | png | audio | video
+      kind: String, // image (BMP) | jpeg | png | gif | audio | video
       payload: Array[Byte],
       width: Int,
       height: Int,
@@ -55,19 +55,19 @@ object Multimodal {
                          frame_bytes: Array[Byte])
 
   /** Deterministic synthetic media table. Image payloads are VALID
-    * containers in THREE formats — 24-bit BMP (hand-rolled encoder), JPEG
-    * and PNG (JDK ImageIO) — audio payloads are VALID PCM16 WAVs, video
-    * payloads are VALID uncompressed-DIB AVIs; every one parses
-    * byte-for-byte through the real decode kernels.
+    * containers in FOUR formats — 24-bit BMP (hand-rolled encoder), JPEG,
+    * PNG, and GIF (JDK ImageIO) — audio payloads are VALID WAVs (PCM16 or
+    * G.711-companded), video payloads are VALID uncompressed-DIB AVIs;
+    * every one parses byte-for-byte through the real decode kernels.
     */
   def synthesize(spark: SparkSession, seed: Long, n: Long,
                  partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n, 1L, partitions).map { i =>
-      val kind = Vector("image", "jpeg", "png", "audio", "video")(
-        Rng.nextInt(seed, i, 0, 5))
+      val kind = Vector("image", "jpeg", "png", "gif", "audio", "video")(
+        Rng.nextInt(seed, i, 0, 6))
       kind match {
-        case "image" | "jpeg" | "png" =>
+        case "image" | "jpeg" | "png" | "gif" =>
           val w = 4 + Rng.nextInt(seed, i, 2, 28)
           val h = 4 + Rng.nextInt(seed, i, 3, 28)
           val px = (x: Int, y: Int) => {
@@ -77,7 +77,8 @@ object Multimodal {
           val payload = kind match {
             case "image" => MediaCodecs.encodeBmp(w, h, px)
             case "jpeg" => MediaCodecs.encodeImageIO("jpg", w, h, px)
-            case _ => MediaCodecs.encodeImageIO("png", w, h, px)
+            case "png" => MediaCodecs.encodeImageIO("png", w, h, px)
+            case _ => MediaCodecs.encodeImageIO("gif", w, h, px) // LZW, palette
           }
           MediaRow(i, kind, payload, w, h, 0, 1)
         case "audio" =>
@@ -242,7 +243,7 @@ object Multimodal {
     */
   private def decodeOne(r: MediaRow, dim: Int): Array[Float] =
     try r.kind match {
-      case "image" | "jpeg" | "png" => imageFeatures(r.payload, dim)
+      case "image" | "jpeg" | "png" | "gif" => imageFeatures(r.payload, dim)
       case "audio" => audioFeatures(r.payload, dim)
       case _ => videoFeatures(r.payload, dim)
     } catch {
@@ -318,6 +319,8 @@ object Multimodal {
             case "jpeg" => MediaCodecs.encodeImageIO("jpg", w, h,
               (x, y) => resampled.pixel(x, y))
             case "png" => MediaCodecs.encodeImageIO("png", w, h,
+              (x, y) => resampled.pixel(x, y))
+            case "gif" => MediaCodecs.encodeImageIO("gif", w, h,
               (x, y) => resampled.pixel(x, y))
             case _ => MediaCodecs.encodeBmp(w, h, (x, y) => resampled.pixel(x, y))
           }

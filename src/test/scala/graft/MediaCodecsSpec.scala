@@ -307,12 +307,33 @@ class MediaCodecsSpec extends SparkSpec {
     assert(meanErr < 8.0, s"mean per-channel JPEG error $meanErr")
   }
 
+  test("GIF (LZW, palette) encode/decode: dims exact, deterministic, quantization-bounded") {
+    val w = 20; val h = 15
+    val px = (x: Int, y: Int) => (x * 12, y * 16, (x + y) * 7)
+    val bytes = MediaCodecs.encodeImageIO("gif", w, h, px)
+    assert(new String(bytes.take(3), "US-ASCII") == "GIF")
+    val a = MediaCodecs.decodeImage(bytes)
+    val b = MediaCodecs.decodeImage(bytes)
+    assert(a.width == w && a.height == h)
+    assert(java.util.Arrays.equals(a.rgb, b.rgb), "GIF decode not deterministic")
+    // 256-color palette quantization of a smooth gradient: bounded error.
+    var err = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r0, g0, b0) = px(x, y)
+      val (r1, g1, b1) = a.pixel(x, y)
+      err += math.abs(r0 - r1) + math.abs(g0 - g1) + math.abs(b0 - b1)
+    }
+    assert(err.toDouble / (w * h * 3) < 20.0,
+      s"mean per-channel GIF error ${err.toDouble / (w * h * 3)}")
+  }
+
   test("JPEG/PNG rows flow through the full Spark path: features, format-preserving resize") {
     val media = Multimodal.synthesize(spark, 4242L, 200L)
     val rows = media.collect()
     val jpegs = rows.filter(_.kind == "jpeg")
     val pngs = rows.filter(_.kind == "png")
     assert(jpegs.nonEmpty && pngs.nonEmpty)
+    assert(rows.exists(_.kind == "gif"))
     // PNG payloads decode EXACTLY to the synthesizer's pixel function.
     pngs.take(5).foreach { r =>
       val img = MediaCodecs.decodeImage(r.payload)
@@ -325,7 +346,7 @@ class MediaCodecsSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 200)
     assert(feats.map(_.kind).toSet ==
-      Set("image", "jpeg", "png", "audio", "video"))
+      Set("image", "jpeg", "png", "gif", "audio", "video"))
     // Resize preserves each row's FORMAT (no silent transcode).
     val resized = Multimodal.resize(media, 8).collect()
     resized.filter(r => r.kind == "jpeg" && math.max(r.width, r.height) <= 8)
