@@ -223,7 +223,7 @@ object IcebergishTable {
     // bucket_fn versions the HASH FUNCTION itself: appends onto a table
     // whose files were placed by a different function would silently mix
     // two incompatible layouts (same key in two buckets → dedup misses,
-    // SPJ co-partitioning lies) — see requireSpecMatch.
+    // SPJ co-partitioning lies) — see validateAppend.
     val bucketMeta = bucketKey
       .map { case (k, n) =>
         s""""bucket_key":"${esc(k)}","buckets":$n,"bucket_fn":"$BucketFn",""" }
@@ -316,21 +316,11 @@ object IcebergishTable {
         // merging — never clobber, never inherit garbage. The probe
         // validates BOTH fields a merge consumes (files + schema), so a
         // chosen base can never wedge the retry loop.
-        val collided = d.resolve(s"snap-$target.json")
-        val valid =
-          try {
-            val json = new String(Files.readAllBytes(collided),
-              StandardCharsets.UTF_8)
-            manifestFilesStrict(table, target, json)
-            org.apache.spark.sql.types.DataType.fromJson(
-              schemaJsonFrom(json, table, target))
-            true
-          } catch { case _: Exception => false }
-        if (valid) base = target
+        if (parseableSnapshot(table, d, target)) base = target
         target += 1
       }
     }
-    advanceVersionTo(d, committed)
+    advanceVersionTo(table, d, committed)
     committed
   }
 
@@ -354,9 +344,28 @@ object IcebergishTable {
     } finally Files.deleteIfExists(tmp)
   }
 
-  private def advanceVersionTo(d: Path, committed: Int): Unit =
+  private def advanceVersionTo(table: String, d: Path, committed: Int): Unit =
     advancePointer(d, "VERSION", committed,
-      n => Files.exists(d.resolve(s"snap-$n.json")))
+      n => parseableSnapshot(table, d, n))
+
+  /** True iff snap-<n>.json exists AND parses (both fields a consumer
+    * needs: files + schema). The shared probe behind CAS collision
+    * handling and pointer advancement — a pointer must never be advanced
+    * ONTO an existing-but-corrupt manifest (external corruption that
+    * commitLocked's own collision handling deliberately steps past).
+    */
+  private def parseableSnapshot(table: String, d: Path, n: Int): Boolean =
+    try {
+      val f = d.resolve(s"snap-$n.json")
+      if (!Files.exists(f)) false
+      else {
+        val json = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+        manifestFilesStrict(table, n, json)
+        org.apache.spark.sql.types.DataType.fromJson(
+          schemaJsonFrom(json, table, n))
+        true
+      }
+    } catch { case _: Exception => false }
 
   /** Advance a pointer file to the HIGHEST published snapshot (at least
     * `committed`). Per-attempt UNIQUE temp names (a fixed shared temp path
@@ -396,28 +405,49 @@ object IcebergishTable {
     }
   }
 
-  /** Reject a write whose bucket layout disagrees with the table's
-    * committed spec: files hashed with a different (key, n) would land in
-    * buckets that no longer agree with the transform the catalog reports,
-    * silently corrupting storage-partitioned joins and bucket pruning.
+  /** Pre-write validation, ONE manifest read (this runs on the streaming
+    * sink's per-epoch hot path — manifests embed the full file list, so
+    * redundant reads cost O(table file count) each): reject a write whose
+    * bucket layout disagrees with the committed spec (files hashed with a
+    * different (key, n) would corrupt storage-partitioned joins and
+    * bucket pruning), whose placement hash differs from the committed
+    * bucket_fn (mixed layouts), or whose schema is incompatible — all
+    * BEFORE any files are staged, promoted, or (on the partition-
+    * overwrite paths) committed bucket files wiped: a refused write must
+    * refuse with the table intact. An empty `keyCol` skips the spec gate
+    * (caller bucketed upstream), never the schema gate. The commit-time
+    * schema resolution still runs; it covers the rare CAS re-merge onto a
+    * parent evolved between this check and the commit.
     */
-  private def requireSpecMatch(table: String, keyCol: String,
-                               numParts: Int): Unit =
-    if (exists(table)) {
-      manifestMeta(table)._2.foreach { case (k, n) =>
-        if (k != keyCol || n != numParts)
-          throw new graft.BucketSpecMismatch(table, s"($k, $n)",
-            s"($keyCol, $numParts)")
-        // Hash-function version gate: a bucketed table committed without
-        // bucket_fn (or with a different one) was laid out by an older
-        // hash — appending this writer's placement would mix layouts.
-        val fn = bucketFnOf(table)
-        if (!fn.contains(BucketFn))
-          throw new graft.BucketSpecMismatch(table,
-            s"bucket_fn=$BucketFn",
-            s"bucket_fn=${fn.getOrElse("<absent — pre-versioned layout; rewrite the table>")}")
-      }
+  private def validateAppend(table: String, keyCol: String, numParts: Int,
+                             schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (!exists(table)) return
+    val snap = currentSnapshot(table)
+    val m = dir(table).resolve(s"snap-$snap.json")
+    if (!Files.exists(m))
+      throw new graft.ManifestCorrupted(table, snap,
+        "VERSION points at a missing manifest")
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    val spec = for {
+      k <- """"bucket_key":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      n <- """"buckets":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+    } yield (k, n)
+    if (keyCol.nonEmpty) spec.foreach { case (k, n) =>
+      if (k != keyCol || n != numParts)
+        throw new graft.BucketSpecMismatch(table, s"($k, $n)",
+          s"($keyCol, $numParts)")
+      // Hash-function version gate: a bucketed table committed without
+      // bucket_fn (or with a different one) was laid out by an older
+      // hash — appending this writer's placement would mix layouts.
+      val fn = """"bucket_fn":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+      if (!fn.contains(BucketFn))
+        throw new graft.BucketSpecMismatch(table,
+          s"bucket_fn=$BucketFn",
+          s"bucket_fn=${fn.getOrElse("<absent — pre-versioned layout; rewrite the table>")}")
     }
+    resolveAppendSchema(table, schema.json, schemaJsonFrom(json, table, snap))
+  }
 
   /** Bucket hash-function id recorded in the current manifest, if any. */
   def bucketFnOf(table: String): Option[String] = {
@@ -486,16 +516,7 @@ object IcebergishTable {
 
 
   /** Validate an incoming write's schema against the CURRENT manifest
-    * BEFORE any files are staged, promoted, or — on the partition-
-    * overwrite paths — committed bucket files wiped: a refused write must
-    * refuse with the table intact. (The commit-time resolution still runs;
-    * it covers the rare CAS re-merge onto a parent evolved between this
-    * check and the commit.)
     */
-  private def preValidateAppendSchema(
-      table: String, schema: org.apache.spark.sql.types.StructType): Unit =
-    if (exists(table)) resolveAppendSchema(table, schema.json, manifestMeta(table)._1)
-
   /** Run an append-type commit, deleting the just-promoted `added` files
     * when the commit is REJECTED with a typed error (SchemaMismatch,
     * CommitConflict, …) — a refused write must not leave orphans behind
@@ -527,8 +548,7 @@ object IcebergishTable {
     val withPart = df.withColumn(PartCol, partExpr(keyCol, numParts))
       .repartition(numParts, col(PartCol))
     if (mode == SaveMode.Append) {
-      requireSpecMatch(table, keyCol, numParts)
-      preValidateAppendSchema(table, withPart.schema)
+      validateAppend(table, keyCol, numParts, withPart.schema)
       val (added, _) = stagePromote(withPart, table, wipeTouched = false)
       commitOrCleanup(table, added) {
         commit(table, withPart.schema.json, 0 until numParts, 0L,
@@ -571,8 +591,7 @@ object IcebergishTable {
   def writePrePartitioned(df: DataFrame, table: String, numParts: Int,
                           keyCol: String = "",
                           replaceParts: Seq[Int] = Seq.empty): Unit = {
-    if (keyCol.nonEmpty) requireSpecMatch(table, keyCol, numParts)
-    preValidateAppendSchema(table, df.schema)
+    validateAppend(table, keyCol, numParts, df.schema)
     val (added, touched) =
       stagePromote(df, table, wipeTouched = true, alsoReplace = replaceParts)
     val touchedSet = touched.toSet
@@ -594,8 +613,7 @@ object IcebergishTable {
     */
   def appendPrePartitioned(df: DataFrame, table: String, numParts: Int,
                            keyCol: String = ""): Unit = {
-    if (keyCol.nonEmpty) requireSpecMatch(table, keyCol, numParts)
-    preValidateAppendSchema(table, df.schema)
+    validateAppend(table, keyCol, numParts, df.schema)
     val (added, _) = stagePromote(df, table, wipeTouched = false)
     commitOrCleanup(table, added) {
       commit(table, df.schema.json, 0 until numParts, 0L,
@@ -607,12 +625,11 @@ object IcebergishTable {
   /** Overwrite only the listed partitions (idempotent resume unit). */
   def overwritePartitions(df: DataFrame, table: String, keyCol: String,
                           numParts: Int, parts: Seq[Int]): Unit = {
-    requireSpecMatch(table, keyCol, numParts)
     val withPart = df
       .withColumn(PartCol, partExpr(keyCol, numParts))
       .where(col(PartCol).isin(parts: _*))
       .repartition(math.max(1, parts.size), col(PartCol))
-    preValidateAppendSchema(table, withPart.schema)
+    validateAppend(table, keyCol, numParts, withPart.schema)
     val (added, touched) =
       stagePromote(withPart, table, wipeTouched = true, alsoReplace = parts)
     val touchedSet = touched.toSet

@@ -158,9 +158,10 @@ object MediaCodecs {
   }
 
   /** Decode ANY supported image payload into the shared row-major RGB
-    * struct: BMP by magic through the hand-rolled parser, JPEG/PNG through
-    * ImageIO. Malformed payloads raise IllegalArgumentException with the
-    * cause — the per-row quarantine pattern catches these uniformly.
+    * struct: BMP by magic through the hand-rolled parser; JPEG, PNG, and
+    * GIF through ImageIO. Malformed payloads raise
+    * IllegalArgumentException with the cause — the per-row quarantine
+    * pattern catches these uniformly.
     */
   def decodeImage(bytes: Array[Byte]): Bmp = {
     require(bytes.length >= 2, s"truncated image payload: ${bytes.length} bytes")

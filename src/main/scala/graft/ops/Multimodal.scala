@@ -114,7 +114,7 @@ object Multimodal {
     * then a (dim-4)-bin luminance histogram (mass-normalized).
     */
   private[graft] def imageFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    val img = MediaCodecs.decodeImage(payload) // BMP, JPEG, or PNG
+    val img = MediaCodecs.decodeImage(payload) // BMP, JPEG, PNG, or GIF
     val out = new Array[Float](dim)
     val nPix = img.width * img.height
     val bins = dim - 4
