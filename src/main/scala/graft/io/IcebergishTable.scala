@@ -36,6 +36,82 @@ object IcebergishTable {
     */
   val BucketFn = "murmur3-pmod"
 
+  /** StructField metadata key carrying a column's stable field id — the
+    * SAME key Spark's parquet writer embeds into file footers
+    * (`spark.sql.parquet.fieldId.write.enabled`, default on) and its reader
+    * resolves by (`spark.sql.parquet.fieldId.read.enabled`). Field ids are
+    * what make column RENAME safe: the manifest schema renames the field
+    * while every data file keeps its original column name, and the reader
+    * matches file columns by id, not name — Iceberg's schema-evolution
+    * mechanism, carried by Spark's own parquet machinery.
+    */
+  val FieldIdKey = "parquet.field.id"
+
+  private def fieldIdsOf(s: org.apache.spark.sql.types.StructType): Map[String, Long] =
+    s.fields.iterator
+      .filter(f => f.name != PartCol && f.metadata.contains(FieldIdKey))
+      .map(f => f.name -> f.metadata.getLong(FieldIdKey)).toMap
+
+  /** Annotate `schema`'s fields with the table's committed field ids (by
+    * name — append validation already enforced name compatibility). Tables
+    * without ids (pre-field-id manifests) return the schema unchanged:
+    * mixing id-annotated files into an id-less table would leave renames
+    * half-safe. Fresh tables get sequential ids 1..n.
+    */
+  def annotateFieldIds(table: String,
+                       schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val target: Map[String, Long] =
+      if (exists(table)) fieldIdsOf(structOf(manifestMeta(table)._1))
+      else schema.fields.iterator.filter(_.name != PartCol).zipWithIndex
+        .map { case (f, i) => f.name -> (i + 1).toLong }.toMap
+    if (target.isEmpty) return schema
+    StructType(schema.fields.map { f =>
+      target.get(f.name) match {
+        case Some(id) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+        case None => f
+      }
+    })
+  }
+
+  /** [[annotateFieldIds]] applied to a DataFrame about to be written: an
+    * aliasing projection only (codegen folds it away) — the files it
+    * produces then embed the ids (Spark's parquet field-id write is on by
+    * default), which is what keeps every data file of an id-aware table
+    * resolvable after renames.
+    */
+  private def withFieldIds(df: DataFrame, table: String): DataFrame =
+    applySchema(df, annotateFieldIds(table, df.schema))
+
+  /** Fresh sequential ids regardless of any existing table state — the
+    * table-Overwrite (re-create) twin of [[withFieldIds]].
+    */
+  private def withFreshFieldIds(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    applySchema(df, StructType(df.schema.fields.zipWithIndex.map {
+      case (f, _) if f.name == PartCol => f
+      case (f, i) => f.copy(metadata = new MetadataBuilder()
+        .withMetadata(f.metadata).putLong(FieldIdKey, (i + 1).toLong).build())
+    }))
+  }
+
+  private def applySchema(df: DataFrame,
+                          annotated: org.apache.spark.sql.types.StructType): DataFrame =
+    if (annotated == df.schema) df
+    else df.select(annotated.fields.map(f =>
+      col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+
+  /** Enable parquet field-id resolution on the session when the schema
+    * being requested carries ids (no-op config for id-less schemas, but
+    * only flipped when needed to keep the session's conf surface minimal).
+    */
+  private[graft] def enableFieldIdReads(spark: SparkSession,
+                                 schema: org.apache.spark.sql.types.StructType): Unit =
+    if (schema.fields.exists(_.metadata.contains(FieldIdKey)))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   /** Bucket index encoded in a table-relative data path
     * (`data/part=<k>/…`) — the ONE parser shared by batch scan planning
     * and the micro-batch stream (they must never bucket a file
@@ -108,6 +184,20 @@ object IcebergishTable {
     else Files.write(t,
       files.toSeq.sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
   }
+
+  /** Append to the tombstone ledger under the table's commit monitor: two
+    * in-JVM writers tombstoning concurrently (e.g. partition overwrites of
+    * disjoint buckets) would otherwise race the read-modify-write and lose
+    * entries — a pure space leak (the files stay referenced by old
+    * manifests, so neither vacuum nor expiry would ever reclaim them), but
+    * a permanent one. Cross-JVM tombstone appends remain last-writer-wins:
+    * same leak-only blast radius, documented with the maintenance ops.
+    */
+  private def addTombstones(table: String, files: Seq[String]): Unit =
+    if (files.nonEmpty)
+      commitLocks.computeIfAbsent(table, _ => new Object).synchronized {
+        writeTombstones(table, tombstones(table) ++ files)
+      }
 
   /** True when any component of the (relative) path is hidden by Hadoop
     * convention: the output committer stages task files under `_temporary`
@@ -291,8 +381,18 @@ object IcebergishTable {
         if (replaceAll || schemaEvolution || parentJson.isEmpty) schemaJson
         else resolveAppendSchema(table, schemaJson,
           schemaJsonFrom(parentJson.get, table, base))
+      // Highest field id EVER assigned rides the manifest monotonically
+      // (Iceberg's last-column-id): a column re-added after a DROP must get
+      // a brand-new id, or id-based resolution would resurrect the dropped
+      // column's values out of old files. The current schema alone can't
+      // tell — the dropped id is gone from it.
+      val maxFid = math.max(
+        parentJson.flatMap(j => """"maxfid":(\d+)""".r.findFirstMatchIn(j))
+          .map(_.group(1).toLong).getOrElse(0L),
+        fieldIdsOf(structOf(effSchemaJson)).values.foldLeft(0L)(math.max))
+      val fidMeta = if (maxFid > 0) s""""maxfid":$maxFid,""" else ""
       val manifest =
-        s"""{"snapshot":$target,"rows":$rows,$bucketMeta$epochMeta"partitions":[${parts.sorted.mkString(",")}],
+        s"""{"snapshot":$target,"rows":$rows,$bucketMeta$epochMeta$fidMeta"partitions":[${parts.sorted.mkString(",")}],
            |"sizes":[${sizes.mkString(",")}],
            |"files":[${files.mkString(",")}],
            |"schema":$effSchemaJson}""".stripMargin.replace("\n", "")
@@ -398,8 +498,18 @@ object IcebergishTable {
       val tmp = d.resolve(
         s".$pointer.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
       Files.write(tmp, target.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, v, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      // Re-read the pointer IMMEDIATELY before the swap and skip when a
+      // racer already moved it to (or past) our target: an unconditional
+      // move would transiently drag the pointer BACKWARDS (reader observes
+      // 6 then 5 until the repair loop below re-advances). The window
+      // between this check and the move is still theoretically open —
+      // plain-file pointers have no CAS — but the repair loop guarantees
+      // convergence, and this check removes the only systematic regression
+      // path (a stale mover landing after a faster racer's return).
+      if (current() < target)
+        Files.move(tmp, v, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      else Files.delete(tmp)
       target = highestPublished() // a racer may have published more
       guard += 1
     }
@@ -468,17 +578,16 @@ object IcebergishTable {
     * commits: nothing under `data/_staging` is ever visible to reads or
     * manifests until ITS writer promotes it.
     *
-    * `wipeTouched` = dynamic-partition-overwrite semantics: before
-    * promoting, the bucket directories this write actually produced data
-    * for are cleared (plus `alsoReplace` buckets the caller is rewriting
-    * even if they came out empty).
-    *
-    * Returns (promoted table-relative paths, touched bucket ids). A crash
-    * between promote and commit leaves orphans that no manifest references
-    * — invisible to reads; `compact` + [[expireSnapshots]] reclaim space.
+    * Returns (promoted table-relative paths, touched bucket ids —
+    * buckets this write produced data for plus `alsoReplace` buckets the
+    * caller is rewriting even if they came out empty). A crash between
+    * promote and commit leaves orphans that no manifest references —
+    * invisible to reads; [[removeOrphans]] + [[expireSnapshots]] reclaim.
+    * Committed files of the touched buckets are NEVER touched here:
+    * partition-overwrite callers drop them from the manifest and tombstone
+    * them after their commit (time travel keeps working).
     */
   private def stagePromote(df: DataFrame, table: String,
-                           wipeTouched: Boolean,
                            alsoReplace: Seq[Int] = Seq.empty)
       : (Seq[String], Seq[Int]) = {
     val d = dir(table)
@@ -499,7 +608,6 @@ object IcebergishTable {
         }
         .toSeq
     val touched = (staged.map(_._1) ++ alsoReplace).distinct.sorted
-    if (wipeTouched) deletePartitionDirs(table, touched)
     val promoted = staged.map { case (b, src) =>
       val dst = d.resolve("data").resolve(s"$PartCol=$b")
         .resolve(src.getFileName.toString)
@@ -507,6 +615,13 @@ object IcebergishTable {
       // Spark part-file names carry the write job's UUID — unique across
       // concurrent writers, so promotes never collide.
       Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      // Refresh mtime at PROMOTE time: move preserves the staging-time
+      // mtime, so a write that staged for longer than removeOrphans' grace
+      // window would promote files that already look expired — a concurrent
+      // vacuum could reap them inside this writer's promote→commit window.
+      // The grace clock must start when the file becomes vacuum-visible.
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       d.relativize(dst).toString
     }
     // Staging tree is empty now — remove it (reverse walk: dirs last).
@@ -545,11 +660,16 @@ object IcebergishTable {
     // Repartition on the bucket column first: without it every input
     // partition writes a file into every bucket directory (numParts ×
     // inputParts tiny files — measured 7× slower at 2.8M rows).
-    val withPart = df.withColumn(PartCol, partExpr(keyCol, numParts))
+    val bucketed = df.withColumn(PartCol, partExpr(keyCol, numParts))
       .repartition(numParts, col(PartCol))
+    // Append inherits the committed field ids; Overwrite is a RE-CREATE
+    // (possibly with a different schema) and assigns fresh ones.
+    val withPart =
+      if (mode == SaveMode.Append) withFieldIds(bucketed, table)
+      else withFreshFieldIds(bucketed)
     if (mode == SaveMode.Append) {
       validateAppend(table, keyCol, numParts, withPart.schema)
-      val (added, _) = stagePromote(withPart, table, wipeTouched = false)
+      val (added, _) = stagePromote(withPart, table)
       commitOrCleanup(table, added) {
         commit(table, withPart.schema.json, 0 until numParts, 0L,
           bucketKey = Some((keyCol, numParts)), added = added)
@@ -587,22 +707,39 @@ object IcebergishTable {
     * if the new input yields zero rows for them (their parent-manifest
     * files must leave the new manifest, or the commit would reference
     * files the caller already cleared).
+    *
+    * Concurrency contract (same as [[deleteWhere]]/[[mergeRows]]): the
+    * parent snapshot is pinned BEFORE staging, and any other commit landing
+    * in between aborts this write with a typed [[graft.CommitConflict]]
+    * (promoted files cleaned up) — a partition-overwrite merged blindly
+    * onto an unseen parent would silently drop a concurrent append's files
+    * from the touched buckets. Replaced files are TOMBSTONED after the
+    * commit, never deleted: older snapshots keep time-traveling;
+    * [[expireSnapshots]] reclaims.
     */
-  def writePrePartitioned(df: DataFrame, table: String, numParts: Int,
+  def writePrePartitioned(df0: DataFrame, table: String, numParts: Int,
                           keyCol: String = "",
                           replaceParts: Seq[Int] = Seq.empty): Unit = {
+    val df = withFieldIds(df0, table)
     validateAppend(table, keyCol, numParts, df.schema)
+    val base = currentSnapshot(table) // pin before staging (see contract)
+    val baseFiles: Seq[String] =
+      if (base < 0) Seq.empty
+      else snapshotFilesOpt(table, base).getOrElse(
+        throw new graft.ManifestCorrupted(table, base,
+          "VERSION points at a missing manifest"))
     val (added, touched) =
-      stagePromote(df, table, wipeTouched = true, alsoReplace = replaceParts)
+      stagePromote(df, table, alsoReplace = replaceParts)
     val touchedSet = touched.toSet
-    // NO cleanup-on-reject here: the wipe above already removed the
-    // committed copies of the touched buckets, so the promoted replacement
-    // files are the ONLY copy — deleting them on a (pre-validated-away,
-    // hence near-impossible) commit rejection would destroy data.
-    commit(table, df.schema.json, 0 until numParts, 0L,
-      bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None,
-      added = added,
-      dropParent = f => touchedSet.contains(bucketOfPath(f)))
+    commitOrCleanup(table, added) {
+      commit(table, df.schema.json, 0 until numParts, 0L,
+        bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None,
+        added = added,
+        dropParent = f => touchedSet.contains(bucketOfPath(f)),
+        expectedParent = Some(base))
+    }
+    addTombstones(table,
+      baseFiles.filter(f => touchedSet.contains(bucketOfPath(f))))
   }
 
   /** APPEND a DataFrame that is already hash-partitioned on `PartCol` into
@@ -611,10 +748,11 @@ object IcebergishTable {
     * appends. The streaming micro-batch sink's unit: replay protection
     * comes from the caller's batch-ack log.
     */
-  def appendPrePartitioned(df: DataFrame, table: String, numParts: Int,
+  def appendPrePartitioned(df0: DataFrame, table: String, numParts: Int,
                            keyCol: String = ""): Unit = {
+    val df = withFieldIds(df0, table)
     validateAppend(table, keyCol, numParts, df.schema)
-    val (added, _) = stagePromote(df, table, wipeTouched = false)
+    val (added, _) = stagePromote(df, table)
     commitOrCleanup(table, added) {
       commit(table, df.schema.json, 0 until numParts, 0L,
         bucketKey = if (keyCol.nonEmpty) Some((keyCol, numParts)) else None,
@@ -622,23 +760,36 @@ object IcebergishTable {
     }
   }
 
-  /** Overwrite only the listed partitions (idempotent resume unit). */
+  /** Overwrite only the listed partitions (idempotent resume unit). Same
+    * concurrency contract as [[writePrePartitioned]]: parent pinned,
+    * concurrent commits abort typed, replaced files tombstoned (not
+    * deleted) so time travel survives.
+    */
   def overwritePartitions(df: DataFrame, table: String, keyCol: String,
                           numParts: Int, parts: Seq[Int]): Unit = {
-    val withPart = df
+    val withPart = withFieldIds(df
       .withColumn(PartCol, partExpr(keyCol, numParts))
       .where(col(PartCol).isin(parts: _*))
-      .repartition(math.max(1, parts.size), col(PartCol))
+      .repartition(math.max(1, parts.size), col(PartCol)), table)
     validateAppend(table, keyCol, numParts, withPart.schema)
+    val base = currentSnapshot(table)
+    val baseFiles: Seq[String] =
+      if (base < 0) Seq.empty
+      else snapshotFilesOpt(table, base).getOrElse(
+        throw new graft.ManifestCorrupted(table, base,
+          "VERSION points at a missing manifest"))
     val (added, touched) =
-      stagePromote(withPart, table, wipeTouched = true, alsoReplace = parts)
+      stagePromote(withPart, table, alsoReplace = parts)
     val touchedSet = touched.toSet
-    // See writePrePartitioned: after the wipe the promoted files are the
-    // only copy of the touched buckets — never cleanup-on-reject here.
-    commit(table, withPart.schema.json, 0 until numParts, 0L,
-      bucketKey = Some((keyCol, numParts)),
-      added = added,
-      dropParent = f => touchedSet.contains(bucketOfPath(f)))
+    commitOrCleanup(table, added) {
+      commit(table, withPart.schema.json, 0 until numParts, 0L,
+        bucketKey = Some((keyCol, numParts)),
+        added = added,
+        dropParent = f => touchedSet.contains(bucketOfPath(f)),
+        expectedParent = Some(base))
+    }
+    addTombstones(table,
+      baseFiles.filter(f => touchedSet.contains(bucketOfPath(f))))
   }
 
   /** Parsed current-snapshot manifest metadata for the DSv2 catalog:
@@ -775,6 +926,9 @@ object IcebergishTable {
       Files.createDirectories(dst.getParent)
       Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      // Grace clock starts at promote, not staging (see stagePromote).
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       dir(table).relativize(dst).toString
     }
     val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
@@ -839,16 +993,20 @@ object IcebergishTable {
       throw new graft.ManifestCorrupted(table, snap,
         "VERSION points at a missing manifest"))
     val schemaJson = manifestMeta(table)._1
-    if (files.nonEmpty)
+    if (files.nonEmpty) {
       // The MANIFEST schema drives the read (not file inference): after
       // schema evolution the current schema is wider than old files, and
-      // the parquet reader resolves columns by name — missing ones read as
-      // null, exactly Iceberg's add-column semantics.
+      // the parquet reader resolves columns — by FIELD ID for id-aware
+      // tables (rename-safe; files keep their written names), by name
+      // otherwise — with missing ones read as null, exactly Iceberg's
+      // add-column semantics.
+      val schema = structOf(schemaJson)
+      enableFieldIdReads(spark, schema)
       spark.read
-        .schema(structOf(schemaJson))
+        .schema(schema)
         .option("basePath", dir(table).resolve("data").toString)
         .parquet(files.map(f => dir(table).resolve(f).toString): _*)
-    else
+    } else
       emptyTyped(spark, schemaJson)
   }
 
@@ -874,12 +1032,14 @@ object IcebergishTable {
         throw new graft.ManifestCorrupted(table, snap,
           "VERSION points at a missing manifest"))
       .filter(f => Files.exists(dir(table).resolve(f)))
-    if (files.nonEmpty)
+    if (files.nonEmpty) {
+      val schema = structOf(manifestMeta(table)._1)
+      enableFieldIdReads(spark, schema)
       spark.read
-        .schema(structOf(manifestMeta(table)._1))
+        .schema(schema)
         .option("basePath", dir(table).resolve("data").toString)
         .parquet(files.map(f => dir(table).resolve(f).toString): _*)
-    else
+    } else
       emptyTyped(spark, manifestMeta(table)._1)
   }
 
@@ -902,9 +1062,12 @@ object IcebergishTable {
       val paths = files.map(f => dir(table).resolve(f).toString)
       // basePath keeps the part=<k> partition column in the schema; the
       // SNAPSHOT's recorded schema drives the read — time travel across a
-      // schema evolution sees exactly the schema of its era.
+      // schema evolution sees exactly the schema of its era (field-id
+      // resolution keeps renamed columns readable under their era name).
+      val schema = structOf(schemaJsonFrom(json, table, snapshot))
+      enableFieldIdReads(spark, schema)
       spark.read
-        .schema(structOf(schemaJsonFrom(json, table, snapshot)))
+        .schema(schema)
         .option("basePath", dir(table).resolve("data").toString)
         .parquet(paths.toIndexedSeq: _*)
     }
@@ -933,16 +1096,117 @@ object IcebergishTable {
     if (cur.fieldNames.exists(_.equalsIgnoreCase(name)))
       throw new graft.InvalidConfig(
         s"column '$name' already exists in $table")
+    // Id-aware tables give the new column the next NEVER-USED id
+    // (manifest-tracked maxfid, monotone across drops); id-less tables
+    // stay id-less — mixing would leave renames half-safe.
+    val newField =
+      if (fieldIdsOf(cur).isEmpty) StructField(name, dataType, nullable = true)
+      else StructField(name, dataType, nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(FieldIdKey, maxFieldId(table, base) + 1).build())
     // New data columns slot in BEFORE the physical part column (partition
     // columns stay last — the parquet reader appends them).
     val (dataCols, partCols) = cur.fields.partition(_.name != PartCol)
     val evolved = StructType(
-      dataCols.toSeq ++ Seq(StructField(name, dataType, nullable = true)) ++
-        partCols.toSeq)
+      dataCols.toSeq ++ Seq(newField) ++ partCols.toSeq)
     val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
       .getOrElse(snapshotFiles(table, base).map(bucketOfPath).distinct.sorted)
     // No added files, no dropped parent files — the commit carries the
     // parent's file list forward under the evolved schema.
+    commit(table, evolved.json, parts, 0L, bucketKey = spec,
+      schemaEvolution = true, expectedParent = Some(base))
+  }
+
+  /** Highest field id ever assigned in this table's history: the
+    * manifest-tracked high-water when present, else the max over the
+    * snapshot's schema (tables whose history never dropped a column).
+    */
+  private def maxFieldId(table: String, snapshot: Int): Long = {
+    val m = dir(table).resolve(s"snap-$snapshot.json")
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    math.max(
+      """"maxfid":(\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong).getOrElse(0L),
+      fieldIdsOf(structOf(schemaJsonFrom(json, table, snapshot)))
+        .values.foldLeft(0L)(math.max))
+  }
+
+  /** Guard shared by rename/drop: both are only safe when every data file
+    * carries field ids (the reader then resolves columns by id, immune to
+    * the name change / name reuse). Id-aware tables embed ids in every
+    * file from creation, so "manifest schema has ids" ⟺ "files have ids";
+    * tables created before field-id support must be rewritten by an
+    * id-aware writer first.
+    */
+  private def requireFieldIds(table: String,
+                              cur: org.apache.spark.sql.types.StructType,
+                              op: String): Unit = {
+    val dataFields = cur.fields.filter(_.name != PartCol)
+    if (!dataFields.forall(_.metadata.contains(FieldIdKey)))
+      throw new graft.InvalidConfig(
+        s"$op requires field ids on every column of $table — the table was " +
+          "created before field-id support; re-create it with a current " +
+          "writer (overwrite) so data files embed parquet field ids")
+  }
+
+  /** Schema evolution: RENAME a data column, metadata-only (same file
+    * list). Data files keep their written column name; reads resolve by
+    * parquet FIELD ID (the id never changes), so every existing file —
+    * and every old snapshot, under its era name — keeps reading correctly.
+    * Renaming the bucket key renames the manifest's bucket spec with it.
+    * The fixed-schema analog of the reference's schemalessness — any
+    * attribute rename "just works" there because nothing is declared
+    * (/root/reference/src/config.rs:88-95); here the manifest carries the
+    * declaration, so the manifest is what changes.
+    */
+  def renameColumn(table: String, from: String, to: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val base = currentSnapshot(table)
+    if (base < 0) throw new graft.TableNotFound(table)
+    val (schemaJson, spec) = manifestMetaAt(table, base)
+    val cur = structOf(schemaJson)
+    if (from == PartCol)
+      throw new graft.InvalidConfig(s"cannot rename the physical $PartCol column")
+    if (!cur.fieldNames.contains(from))
+      throw new graft.InvalidConfig(s"no such column '$from' in $table")
+    if (cur.fieldNames.exists(_.equalsIgnoreCase(to)))
+      throw new graft.InvalidConfig(s"column '$to' already exists in $table")
+    requireFieldIds(table, cur, "RENAME COLUMN")
+    val evolved = StructType(cur.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val evolvedSpec = spec.map { case (k, n) => (if (k == from) to else k, n) }
+    val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
+      .getOrElse(snapshotFiles(table, base).map(bucketOfPath).distinct.sorted)
+    commit(table, evolved.json, parts, 0L, bucketKey = evolvedSpec,
+      schemaEvolution = true, expectedParent = Some(base))
+  }
+
+  /** Schema evolution: DROP a data column, metadata-only (same file list —
+    * the column's bytes stay in the files for old snapshots' time travel;
+    * current reads simply never request it). A later [[addColumn]] with
+    * the same name gets a fresh field id (maxfid is monotone), so the
+    * dropped column's values can never resurrect through id resolution.
+    * Writers still carrying the column are rejected typed by the append
+    * schema gate ("write adds columns"). The bucket key and the part
+    * column cannot be dropped.
+    */
+  def dropColumn(table: String, name: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val base = currentSnapshot(table)
+    if (base < 0) throw new graft.TableNotFound(table)
+    val (schemaJson, spec) = manifestMetaAt(table, base)
+    val cur = structOf(schemaJson)
+    if (name == PartCol)
+      throw new graft.InvalidConfig(s"cannot drop the physical $PartCol column")
+    if (!cur.fieldNames.contains(name))
+      throw new graft.InvalidConfig(s"no such column '$name' in $table")
+    if (spec.exists(_._1 == name))
+      throw new graft.InvalidConfig(
+        s"cannot drop bucket key '$name' of $table — the layout depends on it")
+    requireFieldIds(table, cur, "DROP COLUMN")
+    val evolved = StructType(cur.fields.filterNot(_.name == name))
+    val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
+      .getOrElse(snapshotFiles(table, base).map(bucketOfPath).distinct.sorted)
     commit(table, evolved.json, parts, 0L, bucketKey = spec,
       schemaEvolution = true, expectedParent = Some(base))
   }
@@ -957,7 +1221,7 @@ object IcebergishTable {
     require(!exists(table), s"table already exists: $table")
     require(dataSchema.fieldNames.contains(keyCol),
       s"bucket key '$keyCol' is not a column of ${dataSchema.fieldNames.mkString(",")}")
-    val withPart = dataSchema
+    val withPart = annotateFieldIds(table, dataSchema)
       .add(org.apache.spark.sql.types.StructField(PartCol,
         org.apache.spark.sql.types.IntegerType, nullable = false))
     commit(table, withPart.json, 0 until numParts, 0L,
@@ -1068,7 +1332,7 @@ object IcebergishTable {
     // Fresh files land beside the old ones (the old files stay on disk —
     // deleting them would break older snapshots' time travel).
     val (fresh, _) =
-      try stagePromote(current, table, wipeTouched = false)
+      try stagePromote(current, table)
       finally current.unpersist(blocking = false)
     try {
       // Partition list from the COMMITTED spec when one exists: numParts
@@ -1090,7 +1354,7 @@ object IcebergishTable {
     // Tombstones are pure space-reclaim bookkeeping now — commits no longer
     // consult them — and [[expireSnapshots]] deletes them once no retained
     // snapshot references them.
-    writeTombstones(table, tombstones(table) ++ prevFiles)
+    addTombstones(table, prevFiles.toSeq)
   }
 
   /** Row-level DELETE, copy-on-write (Iceberg v1 COW semantics): rewrite
@@ -1185,7 +1449,9 @@ object IcebergishTable {
                              touched: Set[Int], replacement: DataFrame): Unit = {
     val replacedFiles = snapshotFiles(table, startSnap)
       .filter(f => touched.contains(bucketOfPath(f)))
-    val (fresh, _) = stagePromote(replacement, table, wipeTouched = false)
+    // Re-annotate: unionByName/joins in the replacement plan may have
+    // dropped the field-id metadata the fresh files must embed.
+    val (fresh, _) = stagePromote(withFieldIds(replacement, table), table)
     try {
       commit(table, schemaJson,
         spec.map { case (_, n) => 0 until n: Seq[Int] }
@@ -1198,7 +1464,7 @@ object IcebergishTable {
         fresh.foreach(f => Files.deleteIfExists(dir(table).resolve(f)))
         throw e
     }
-    writeTombstones(table, tombstones(table) ++ replacedFiles)
+    addTombstones(table, replacedFiles)
   }
 
   /** Delete data files referenced by NO existing snapshot manifest — the
@@ -1314,6 +1580,40 @@ object IcebergishTable {
     */
   def snapshotFiles(table: String, snapshot: Int): Seq[String] =
     snapshotFilesOpt(table, snapshot).getOrElse(Seq.empty)
+
+  /** Run `body`, retrying up to `attempts` times on [[graft.CommitConflict]]
+    * with exponential backoff + jitter — the commit-layer twin of the
+    * reference's per-request retry policy (5 retries, exponential 30 ms →
+    * 3 s backoff, /root/reference/src/client/builder.rs:57-66). Replace-type
+    * commits (compaction, COW delete/merge, partition overwrite) pin their
+    * parent snapshot and abort typed when another writer lands first; most
+    * callers want to re-read the new state and try again, and hand-rolling
+    * that loop at every call site invites forgetting the backoff. The body
+    * MUST re-read the table state each attempt (deleteWhere/mergeRows/
+    * compact do — they re-pin currentSnapshot on entry).
+    *
+    * Plain appends never raise CommitConflict (their deltas merge
+    * commutatively under the commit CAS) — wrapping them is harmless.
+    */
+  def withCommitRetry[T](attempts: Int = 5, backoffMs: Long = 30,
+                         maxBackoffMs: Long = 3000)(body: => T): T = {
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+    var tryNo = 0
+    while (true) {
+      try return body
+      catch {
+        case e: graft.CommitConflict =>
+          tryNo += 1
+          if (tryNo >= attempts) throw e
+          val base = math.min(maxBackoffMs, backoffMs << math.min(20, tryNo - 1))
+          // Full jitter: two losers of the same race must not retry in
+          // lockstep or they re-collide every round.
+          Thread.sleep(1 + java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(math.max(1L, base)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   def drop(table: String): Unit = {
     val d = dir(table)

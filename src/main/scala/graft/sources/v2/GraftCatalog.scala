@@ -131,26 +131,87 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   /** Schema evolution: `ALTER TABLE graft.t ADD COLUMN c TYPE` routes here
     * as an AddColumn change → a metadata-only snapshot with the widened
-    * schema ([[graft.io.IcebergishTable.addColumn]]). Old snapshots keep
-    * the schema of their era; existing files read the new column as null.
-    * Other change kinds (rename/drop/retype) stay unsupported — they need
-    * field-id mapping the manifest format doesn't carry.
+    * schema ([[graft.io.IcebergishTable.addColumn]]); `RENAME COLUMN` /
+    * `DROP COLUMN` route to the field-id-mapped rename/drop (data files
+    * keep their written names; reads resolve by parquet field id). Old
+    * snapshots keep the schema of their era; existing files read a new
+    * column as null. Retype stays unsupported.
+    *
+    * The FULL change list is validated before ANY change commits: a
+    * multi-change ALTER whose later change is unsupported must reject
+    * wholesale, not leave earlier columns committed with no rollback.
+    * AddColumn attributes the format cannot honor (NOT NULL, explicit
+    * position, nested fields) reject explicitly instead of silently
+    * altering their semantics; a COMMENT is accepted and dropped (it
+    * changes no read/write semantics).
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val path = tablePath(ident)
     if (!graft.io.IcebergishTable.exists(path))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    // Phase 1: validate everything, commit nothing — including name
+    // existence/conflicts, simulated through the list in order so a later
+    // change is checked against the schema the earlier ones will produce.
+    val (schemaJson, spec) = graft.io.IcebergishTable.manifestMeta(path)
+    var names = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType].fieldNames.toSeq
+      .filterNot(_ == graft.io.IcebergishTable.PartCol)
+    def requireExists(n: String): Unit =
+      if (!names.contains(n))
+        throw new graft.InvalidConfig(s"no such column '$n' in $path")
+    def requireFresh(n: String): Unit =
+      if (names.exists(_.equalsIgnoreCase(n)))
+        throw new graft.InvalidConfig(s"column '$n' already exists in $path")
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1)
           throw new UnsupportedOperationException(
             s"nested column additions are not supported: ${add.fieldNames().mkString(".")}")
-        graft.io.IcebergishTable.addColumn(path, add.fieldNames()(0),
-          add.dataType())
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            s"NOT NULL column '${add.fieldNames()(0)}' is not supported — " +
+              "existing files would read it as null, violating the constraint")
+        if (add.position() != null)
+          throw new UnsupportedOperationException(
+            s"explicit column position is not supported for '${add.fieldNames()(0)}' — " +
+              "new columns append before the hidden part column")
+        requireFresh(add.fieldNames()(0))
+        names :+= add.fieldNames()(0)
+      case rename: TableChange.RenameColumn =>
+        if (rename.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"nested column renames are not supported: ${rename.fieldNames().mkString(".")}")
+        requireExists(rename.fieldNames()(0))
+        requireFresh(rename.newName())
+        names = names.map(n =>
+          if (n == rename.fieldNames()(0)) rename.newName() else n)
+      case del: TableChange.DeleteColumn =>
+        if (del.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"nested column drops are not supported: ${del.fieldNames().mkString(".")}")
+        requireExists(del.fieldNames()(0))
+        if (spec.exists(_._1 == del.fieldNames()(0)))
+          throw new graft.InvalidConfig(
+            s"cannot drop bucket key '${del.fieldNames()(0)}' of $path")
+        names = names.filterNot(_ == del.fieldNames()(0))
       case other =>
         throw new UnsupportedOperationException(
-          s"unsupported table change (only ADD COLUMN): $other")
+          s"unsupported table change (ADD/RENAME/DROP COLUMN only): $other")
+    }
+    // Phase 2: apply. (Each change is one atomic metadata commit; the list
+    // as a whole is not transactional across a concurrent writer, same as
+    // Iceberg's one-commit-per-update SQL path.)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        graft.io.IcebergishTable.addColumn(path, add.fieldNames()(0),
+          add.dataType())
+      case rename: TableChange.RenameColumn =>
+        graft.io.IcebergishTable.renameColumn(path, rename.fieldNames()(0),
+          rename.newName())
+      case del: TableChange.DeleteColumn =>
+        graft.io.IcebergishTable.dropColumn(path, del.fieldNames()(0))
+      case _ => // unreachable: phase 1 rejected everything else
     }
     new GraftTable(ident.toString, path)
   }

@@ -37,8 +37,16 @@ import graft.io.IcebergishTable
   * (same contract as Iceberg's streaming appends).
   */
 final class GraftStreamingWrite(path: String, key: String, n: Int,
-                                queryId: String, writeSchema: StructType)
+                                queryId: String, writeSchema0: StructType)
     extends StreamingWrite {
+
+  // Field ids from the committed manifest ride the write schema so the
+  // staged parquet files embed them (the bridge's conf keeps Spark's
+  // field-id write enabled) — without this, streamed files of an id-aware
+  // table would lack ids and id-resolving reads of the table would fail
+  // loudly on them after any rename.
+  private val writeSchema: StructType =
+    IcebergishTable.annotateFieldIds(path, writeSchema0)
 
   // Captured on the driver at plan time; the string map ships to executors.
   private val confEntries =

@@ -351,6 +351,8 @@ final class GraftScan(path: String, dataSchema: StructType,
     // index is empty on purpose — planning stays ours (bucket-grouped
     // partitions above); only the per-file reading machinery is borrowed.
     val session = SparkSession.active
+    // Rename-safe reads: id-aware schemas resolve file columns by field id.
+    IcebergishTable.enableFieldIdReads(session, readDataSchema)
     val hadoopConf = session.sessionState.newHadoopConf()
     val fileIndex = new InMemoryFileIndex(session, Seq.empty, Map.empty, None)
     val inner = ParquetScan(session, hadoopConf, fileIndex, dataSchema,
@@ -469,17 +471,32 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
         .getOrElse(throw new graft.SnapshotNotFound(path, s)).toSet
     var done = false
     while (!done && end < cur) {
-      val nextFiles = IcebergishTable.snapshotFilesOpt(path, end + 1)
-        .getOrElse(throw new graft.SnapshotNotFound(path, end + 1)).toSet
+      // An INTERMEDIATE manifest expired during stream downtime
+      // (expireSnapshots keeps only the last K): jump to the next retained
+      // snapshot and treat the whole gap as one step — its net added files
+      // are exactly nextFiles -- prev, and the uncapped path never needed
+      // the intermediates either. Failing here instead would wedge the
+      // stream permanently: every trigger re-walks the same missing
+      // manifest. Only the START offset's manifest stays load-bearing
+      // (planInputPartitions fails loudly on it — reading it leniently
+      // would replay the whole table as one duplicate batch).
+      var next = end + 1
+      var nextFilesOpt = IcebergishTable.snapshotFilesOpt(path, next)
+      while (nextFilesOpt.isEmpty && next < cur) {
+        next += 1
+        nextFilesOpt = IcebergishTable.snapshotFilesOpt(path, next)
+      }
+      val nextFiles = nextFilesOpt
+        .getOrElse(throw new graft.SnapshotNotFound(path, next)).toSet
       val added = (nextFiles -- prev).size
       val wouldExceed =
         fileCap.exists(c => files + added > c) ||
-          snapCap.exists(c => end + 1 - s > c)
+          snapCap.exists(c => next - s > c)
       if (wouldExceed && end > s) done = true
       else {
-        end += 1; files += added; prev = nextFiles
-        // A single over-budget snapshot still commits alone (progress
-        // guarantee), but nothing more rides with it.
+        end = next; files += added; prev = nextFiles
+        // A single over-budget snapshot (or expiry gap) still commits alone
+        // (progress guarantee), but nothing more rides with it.
         if (fileCap.exists(files >= _) || snapCap.exists(end - s >= _))
           done = true
       }
@@ -549,6 +566,7 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val session = SparkSession.active
+    IcebergishTable.enableFieldIdReads(session, readDataSchema)
     val hadoopConf = session.sessionState.newHadoopConf()
     val fileIndex = new InMemoryFileIndex(session, Seq.empty, Map.empty, None)
     val inner = ParquetScan(session, hadoopConf, fileIndex, dataSchema,

@@ -283,9 +283,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(optPinned.count() == 2 &&
       optPinned.where(col("lang").isNull).count() == 2)
 
-    // Non-ADD changes stay loudly unsupported.
+    // RENAME COLUMN (round 5): metadata-only, field-id-resolved — data
+    // written under the old name keeps reading under the new one.
+    spark.sql("ALTER TABLE graft.evolving RENAME COLUMN lang TO language")
+    val renamed = spark.table("graft.evolving")
+    assert(renamed.columns.toSeq == Seq("k", "v", "language"))
+    assert(renamed.where(col("language") === "en").count() == 1)
+    // Era schema: the pre-rename snapshot still reads under its old name.
+    assert(spark.sql(
+      s"SELECT * FROM graft.evolving VERSION AS OF $sOld")
+      .columns.toSeq == Seq("k", "v"))
+    // A multi-change ALTER with one bad change commits NOTHING.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.evolving ADD COLUMNS (ok INT, language STRING)")
+    }
+    assert(spark.table("graft.evolving").columns.toSeq ==
+      Seq("k", "v", "language"), "partial apply after rejected multi-ALTER")
+
+    // Retype stays loudly unsupported.
     intercept[UnsupportedOperationException] {
-      spark.sql("ALTER TABLE graft.evolving RENAME COLUMN lang TO language")
+      spark.sql("ALTER TABLE graft.evolving ALTER COLUMN v TYPE STRING")
     }
   }
 

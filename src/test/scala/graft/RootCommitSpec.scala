@@ -70,10 +70,15 @@ class RootCommitSpec extends SparkSpec {
       partitions = 4, outputBuckets = 8, workDir = dir, runId = "b"))
     assert(RootCommit.currentRoot(dir) > r0)
     assert(RootCommit.readConsistent(spark, dir, "edges").count() == e0)
-    // A root over overwritten snapshots behaves like an Iceberg EXPIRED
-    // snapshot: resolution fails loudly (files replaced), never silently
-    // serves mixed state.
-    intercept[org.apache.spark.sql.AnalysisException] {
+    // Round 5: partition overwrites TOMBSTONE replaced files instead of
+    // deleting them, so the old root keeps time-traveling (the rebuild
+    // behaves like any other snapshot history)…
+    assert(RootCommit.readConsistent(spark, dir, "edges", root = r0)
+      .count() == e0)
+    // …until snapshot EXPIRY reclaims the tombstoned files and drops the
+    // old manifests — then the old root expires loudly, Iceberg-style.
+    IcebergishTable.expireSnapshots(s"$dir/edges", keepLast = 1)
+    intercept[SnapshotNotFound] {
       RootCommit.readConsistent(spark, dir, "edges", root = r0).count()
     }
   }
