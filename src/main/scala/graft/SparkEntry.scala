@@ -263,6 +263,17 @@ object SparkEntry {
       ops.Ann.writeLshIndex(t(s, dir, "embeddings"), "vec_id", "embedding", path)
       ops.Ann.lshTopKIndexed(s, path, queryId = 0L, k = 10)
     }),
+    "ann_lsh_full_probe" -> ((s, dir) => {
+      // Full-probe over the DISK-PARTITIONED LSH index ≡ brute force (the
+      // IVF full-probe trick applied to LSH): DuckDB's brute-force oracle
+      // now verifies the whole indexed read path end-to-end — bucket
+      // assignment, partitioned layout, probe scan, cosine ranking. The
+      // approximate multiprobe path keeps its recall/equivalence specs.
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-annfp").toString + "/index"
+      ops.Ann.writeLshIndex(t(s, dir, "embeddings"), "vec_id", "embedding", path)
+      ops.Ann.lshTopKIndexed(s, path, queryId = 0L, k = 10, fullProbe = true)
+    }),
     "embed_lsh_pairs" -> ((s, dir) =>
       ops.Ann.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         minCosine = 0.4)),
@@ -389,6 +400,38 @@ object SparkEntry {
             "ctas"))
           .orderBy(col("tag"), col("k"))
           .localCheckpoint() // eager: executes before the conf restore
+      } finally saved.foreach {
+        case (k, Some(prev)) => s.conf.set(k, prev)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+    "kg_stats_prune" -> ((s, _) => {
+      // Manifest zone maps under the oracle: two appends with DISJOINT v
+      // ranges (per-file min/max recorded at commit), then an aggregate
+      // through the catalog whose range predicate lets planning SKIP every
+      // low-range file (StatsPruningSpec asserts the file counts; here
+      // DuckDB recomputes the values — a file wrongly skipped loses rows
+      // and breaks the hash, a wrongly kept one is correct-but-slower).
+      val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString
+      val touched = Seq("spark.sql.catalog.graft_z",
+        "spark.sql.catalog.graft_z.warehouse")
+      val saved = touched.map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.catalog.graft_z",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_z.warehouse", dir)
+      try {
+        def slice(a: Long, b: Long): DataFrame = s.range(a, b)
+          .select(concat(lit("k"), col("id") % 19).as("k"), col("id").as("v"))
+        graft.io.IcebergishTable.write(slice(0, 900), s"$dir/t", "k", 4)
+        graft.io.IcebergishTable.write(slice(100000, 100900), s"$dir/t", "k", 4,
+          org.apache.spark.sql.SaveMode.Append)
+        s.table("graft_z.t")
+          .where(col("v") >= 100000L)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .orderBy(col("k"))
+          .localCheckpoint()
       } finally saved.foreach {
         case (k, Some(prev)) => s.conf.set(k, prev)
         case (k, None) => s.conf.unset(k)
@@ -608,6 +651,12 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT 'ctas', 'k' || CAST(i % 37 AS VARCHAR), count(*), " +
         "CAST(sum(i) AS BIGINT) FROM range(1000) t(i) GROUP BY 2"),
+    "kg_stats_prune" ->
+      // The stats-pruned filtered aggregate = the high slice only.
+      ("SELECT 'k' || CAST(i % 19 AS VARCHAR) AS k, count(*) AS n, " +
+        "CAST(sum(i) AS BIGINT) AS sum_v, CAST(min(i) AS BIGINT) AS min_v, " +
+        "CAST(max(i) AS BIGINT) AS max_v " +
+        "FROM range(100000, 100900) t(i) GROUP BY 1"),
     "kg_compact" ->
       // Compaction + expiry must preserve exactly the appended rows.
       ("SELECT 'k' || CAST(i % 37 AS VARCHAR) AS k, count(*) AS n, " +
@@ -761,6 +810,12 @@ object SparkEntry {
         "ORDER BY cosine DESC, b.vec_id ASC LIMIT 10"),
     "ann_ivf_topk" ->
       // Full-probe IVF ≡ brute force (every cell probed) — same oracle.
+      ("SELECT b.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine " +
+        "FROM embeddings a, embeddings b " +
+        "WHERE a.vec_id = 0 AND b.vec_id <> 0 " +
+        "ORDER BY cosine DESC, b.vec_id ASC LIMIT 10"),
+    "ann_lsh_full_probe" ->
+      // Full-probe over the partitioned LSH index ≡ brute force.
       ("SELECT b.vec_id, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine " +
         "FROM embeddings a, embeddings b " +
         "WHERE a.vec_id = 0 AND b.vec_id <> 0 " +

@@ -162,12 +162,19 @@ object Ann {
     * Same results as [[lshTopK]] on the same parameters.
     */
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-                     queryId: Long, k: Int, nBits: Int = 10): DataFrame = {
+                     queryId: Long, k: Int, nBits: Int = 10,
+                     fullProbe: Boolean = false): DataFrame = {
     val index = spark.read.parquet(path)
     val qRow = index.where(col("id") === queryId)
       .select(col("v"), col("bucket")).head()
     val qBucket = qRow.getInt(1)
-    val probes = qBucket +: Array.tabulate(nBits)(b => qBucket ^ (1 << b))
+    // fullProbe = every bucket (provably ≡ brute force — the IVF
+    // full-probe trick): it drags the ENTIRE indexed read path (partition
+    // discovery, bucket layout, cosine ranking) under the brute-force
+    // DuckDB oracle. The approximate multiprobe path keeps its recall spec.
+    val probes =
+      if (fullProbe) Array.tabulate(1 << nBits)(identity)
+      else qBucket +: Array.tabulate(nBits)(b => qBucket ^ (1 << b))
     val q = broadcast(index.where(col("id") === queryId)
       .select(col("v").as("qv")))
     index

@@ -263,7 +263,23 @@ final class GraftScan(path: String, dataSchema: StructType,
     // writer's orphans, which the manifest correctly excludes).
     IcebergishTable.snapshotFilesWithSizes(path, snap) match {
       case Some(withSizes) =>
+        // FILE-LEVEL DATA SKIPPING: manifest zone maps (per-file column
+        // min/max) drop files whose ranges cannot satisfy the pushed data
+        // filters — before bucket grouping, before any footer or data
+        // read. Conservative: files without stats always survive, and the
+        // same filters still reach the parquet reader for row-group
+        // pruning inside surviving files.
+        val statPreds = dataFilters.toSeq
+          .flatMap(f => graft.io.ManifestStats.fromFilter(f, dataSchema))
+        val skipped: Set[String] =
+          if (statPreds.isEmpty) Set.empty
+          else {
+            val all = withSizes.map(_._1)
+            all.toSet -- graft.io.ManifestStats.prune(
+              path, snap, dataSchema, statPreds, all)
+          }
         withSizes
+          .filterNot { case (rel, _) => skipped.contains(rel) }
           .map { case (rel, size) =>
             (IcebergishTable.bucketOfPath(rel), rel, size) }
           .filter { case (b, _, _) => prunedBuckets.forall(_.contains(b)) }

@@ -41,8 +41,14 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+      // Back to NTZ on the way out: the input is NTZ and the session is
+      // UTC, so the wall-clock value is unchanged — but a WRITTEN
+      // TimestampType column becomes isAdjustedToUTC=true parquet under
+      // TIMESTAMP_MICROS output, which external readers (the DuckDB
+      // oracle's pandas bridge) surface as tz-aware and unequal to the
+      // oracle's naive timestamps.
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
     val name = s"hourly_counts_${System.identityHashCode(stream)}"
     val q = stream.writeStream
       .format("memory")
@@ -82,8 +88,14 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+      // Back to NTZ on the way out: the input is NTZ and the session is
+      // UTC, so the wall-clock value is unchanged — but a WRITTEN
+      // TimestampType column becomes isAdjustedToUTC=true parquet under
+      // TIMESTAMP_MICROS output, which external readers (the DuckDB
+      // oracle's pandas bridge) surface as tz-aware and unequal to the
+      // oracle's naive timestamps.
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
     val q = agg.writeStream
       .format("parquet")
       .option("path", outDir)
@@ -104,7 +116,7 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
       .select(col("user_id"),
-        col("session_window.start").as("session_start"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"), col("total_value"))
 
   // ---- custom streaming state: flatMapGroupsWithState ---------------------

@@ -54,8 +54,8 @@ class StreamingSpec extends SparkSpec {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
@@ -74,8 +74,8 @@ class StreamingSpec extends SparkSpec {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
       .collect().map(_.toSeq).toSet
     // Append emits only windows the watermark closed: a subset of batch…
     assert(emitted.nonEmpty && emitted.subsetOf(batch),
@@ -85,7 +85,8 @@ class StreamingSpec extends SparkSpec {
       .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0).getTime
     val closedBound = maxTs - 2 * 3600 * 1000L
     val missing = batch.filter(r =>
-      r.head.asInstanceOf[Timestamp].getTime < closedBound) -- emitted
+      r.head.asInstanceOf[java.time.LocalDateTime]
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli < closedBound) -- emitted
     assert(missing.isEmpty, s"closed windows not emitted: $missing")
   }
 
@@ -304,6 +305,10 @@ class StreamingSpec extends SparkSpec {
       (4L, ts(0), 2L, "b", 1.0)
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
     val out = EventStream.sessionWindows(events, gap = "6 hours")
+      // session_start is NTZ on the way out (oracle-format contract);
+      // cast back for the Timestamp-based assertion (UTC session: no-op).
+      .select(col("user_id"), col("session_start").cast("timestamp"),
+        col("n_events"))
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
     assert(out == Set((1L, ts(0), 2L), (1L, ts(600), 1L), (2L, ts(0), 1L)))
   }
