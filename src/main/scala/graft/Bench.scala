@@ -30,6 +30,9 @@ object Bench {
       // MICROS timestamps (not deprecated INT96): parquet footers then carry
       // usable min/max for timestamp columns, feeding manifest zone maps.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Engine extensions (native function, optimizer rule, row-level SQL
+      // rewrites) bind at session construction.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // Fine-grained read splits: wave-granularity dominates scaling at
       // this size (33 coarse tasks = 2 ragged waves at 32 threads vs 4
       // tidy waves at 8). ~8 MB splits ≈ 150 tasks ≈ ≥4 waves everywhere.

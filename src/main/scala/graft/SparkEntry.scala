@@ -462,16 +462,22 @@ object SparkEntry {
         .localCheckpoint()
     }),
     "kg_delete" -> ((s, _) => {
-      // Copy-on-write row-level DELETE, oracle-verified: only the buckets
-      // containing matches are rewritten; DuckDB recomputes the survivors
-      // from range() — a lost survivor or surviving victim breaks the hash.
+      // Row-level DELETE through BOTH physical strategies, oracle-verified:
+      // a small MERGE-ON-READ delete (position tombstones, zero data files
+      // rewritten) followed by a large COPY-ON-WRITE delete (touched
+      // buckets rewritten, folding the tombstones for those buckets).
+      // DuckDB recomputes the survivors of both from range() — a lost
+      // survivor, surviving victim, or resurrected tombstoned row breaks
+      // the hash compare.
       val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
       val t = s"$dir/t"
       graft.io.IcebergishTable.write(
         s.range(0, 2000).select(concat(lit("k"), col("id") % 41).as("k"),
           col("id").as("v")),
         t, "k", 8)
-      graft.io.IcebergishTable.deleteWhere(s, t, col("v") % 7 === 3)
+      graft.io.IcebergishTable.deleteWhere(s, t, col("v") % 211 === 5,
+        morMaxRows = 100L) // 10 rows → MOR path
+      graft.io.IcebergishTable.deleteWhere(s, t, col("v") % 7 === 3) // COW
       graft.io.IcebergishTable.read(s, t)
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
@@ -662,10 +668,10 @@ object SparkEntry {
       ("SELECT 'k' || CAST(i % 37 AS VARCHAR) AS k, count(*) AS n, " +
         "CAST(sum(i) AS BIGINT) AS sum_v FROM range(1200) t(i) GROUP BY 1"),
     "kg_delete" ->
-      // Survivors of the COW delete, recomputed.
+      // Survivors of the MOR delete then the COW delete, recomputed.
       ("SELECT 'k' || CAST(i % 41 AS VARCHAR) AS k, count(*) AS n, " +
         "CAST(sum(i) AS BIGINT) AS sum_v FROM range(2000) t(i) " +
-        "WHERE NOT (i % 7 = 3) GROUP BY 1"),
+        "WHERE NOT (i % 211 = 5) AND NOT (i % 7 = 3) GROUP BY 1"),
     "kg_merge" ->
       // The merged state: untouched seed rows + updated/inserted rows.
       ("WITH rows AS (" +

@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HtmlExtractExpr(exprs.head)
     ))
     ext.injectOptimizerRule(_ => SimplifyOpenSchemaProjection)
+    // SQL DELETE FROM / MERGE INTO over graft catalog tables → the
+    // engine's own COW/MOR row-level machinery (resolution rule: must
+    // claim the plan before Spark's SupportsRowLevelOperations fallback
+    // rejects the table).
+    ext.injectResolutionRule(_ => GraftRowLevelSql)
   }
 }

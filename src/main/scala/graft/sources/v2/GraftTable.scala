@@ -45,6 +45,17 @@ final class GraftTable(ident: String, path: String,
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns {
 
+  /** Filesystem path of the backing Icebergish table — the SQL row-level
+    * command rewrites ([[graft.plans.GraftRowLevelSql]]) route DELETE/MERGE
+    * through the engine's own COW/MOR machinery by path.
+    */
+  def tablePath: String = path
+
+  /** True for plain (non-time-travel) relations — row-level SQL ops must
+    * refuse to mutate a pinned historical view.
+    */
+  def isCurrentVersion: Boolean = pinned.isEmpty
+
   // A VERSION-AS-OF table resolves schema + spec from the era it pins —
   // time travel across a schema evolution sees the schema of its era.
   private val (schemaJson, bucketSpec) = pinned match {
@@ -210,12 +221,18 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
       maxSnapshotsPerTrigger)
 }
 
-/** A bucket's worth of files, keyed for storage-partitioned joins. */
+/** A bucket's worth of files, keyed for storage-partitioned joins.
+  * `deletes` (aligned with `files`; empty array = none) carries each
+  * file's merge-on-read position-delete ordinals, sorted ascending — the
+  * reader factory skips exactly those rows.
+  */
 final case class GraftBucketPartition(bucket: Int,
-                                      files: Array[PartitionedFile])
+                                      files: Array[PartitionedFile],
+                                      deletes: Array[Array[Long]] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
+  def hasDeletes: Boolean = deletes.exists(_.nonEmpty)
 }
 
 final class GraftScan(path: String, dataSchema: StructType,
@@ -278,6 +295,14 @@ final class GraftScan(path: String, dataSchema: StructType,
             all.toSet -- graft.io.ManifestStats.prune(
               path, snap, dataSchema, statPreds, all)
           }
+        // MERGE-ON-READ: position-delete ordinals per data file, merged
+        // across the snapshot's delete files at plan time (delete sets are
+        // driver-small by the MOR write path's own threshold).
+        val delByFile: Map[String, Array[Long]] =
+          IcebergishTable.snapshotDeleteFiles(path, snap)
+            .flatMap(IcebergishTable.readDeleteFile(path, _))
+            .groupBy(_._1)
+            .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
         withSizes
           .filterNot { case (rel, _) => skipped.contains(rel) }
           .map { case (rel, size) =>
@@ -288,11 +313,16 @@ final class GraftScan(path: String, dataSchema: StructType,
             val partValues: InternalRow =
               if (needsPart) new GenericInternalRow(Array[Any](b))
               else InternalRow.empty
-            GraftBucketPartition(b, files.sortBy(_._2).map { case (_, rel, size) =>
-              PartitionedFile(partValues,
-                SparkPath.fromPathString(root.resolve(rel).toAbsolutePath.toString),
-                0L, size, Array.empty, 0L, size)
-            }.toArray): InputPartition
+            val sorted = files.sortBy(_._2)
+            GraftBucketPartition(b,
+              sorted.map { case (_, rel, size) =>
+                PartitionedFile(partValues,
+                  SparkPath.fromPathString(root.resolve(rel).toAbsolutePath.toString),
+                  0L, size, Array.empty, 0L, size)
+              }.toArray,
+              sorted.map { case (_, rel, _) =>
+                delByFile.getOrElse(rel, Array.empty[Long])
+              }.toArray): InputPartition
           }
           .toArray
       case None =>
@@ -374,8 +404,23 @@ final class GraftScan(path: String, dataSchema: StructType,
     val inner = ParquetScan(session, hadoopConf, fileIndex, dataSchema,
       readDataSchema, partitionSchema, dataFilters,
       CaseInsensitiveStringMap.empty())
+    // MERGE-ON-READ: files carrying position deletes are read through an
+    // UNFILTERED factory (row-group pruning would shift row ordinals and
+    // desynchronize the skip list; the pushed filters are residual anyway
+    // — Spark re-applies them above the scan) with ordinal-skipping
+    // readers. Files without deletes keep the filtered, columnar path.
+    val needsMor = plannedPartitions.exists {
+      case p: GraftBucketPartition => p.hasDeletes
+      case _ => false
+    }
+    val unfiltered =
+      if (!needsMor) None
+      else Some(ParquetScan(session, hadoopConf, fileIndex, dataSchema,
+        readDataSchema, partitionSchema, Array.empty[Filter],
+        CaseInsensitiveStringMap.empty()).createReaderFactory()
+        .asInstanceOf[ParquetPartitionReaderFactory])
     GraftReaderFactory(inner.createReaderFactory()
-      .asInstanceOf[ParquetPartitionReaderFactory])
+      .asInstanceOf[ParquetPartitionReaderFactory], unfiltered)
   }
 
   override def description(): String =
@@ -594,23 +639,82 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
 }
 
 /** Adapts [[GraftBucketPartition]] to Spark's parquet reader factory (which
-  * expects [[FilePartition]]s).
+  * expects [[FilePartition]]s). Partitions carrying merge-on-read deletes
+  * route to the row-based [[GraftMorReader]] instead (`unfiltered` factory
+  * required — plan-time invariant).
   */
-final case class GraftReaderFactory(inner: ParquetPartitionReaderFactory)
+final case class GraftReaderFactory(inner: ParquetPartitionReaderFactory,
+                                    unfiltered: Option[ParquetPartitionReaderFactory] = None)
     extends PartitionReaderFactory {
 
   private def asFilePartition(p: InputPartition): FilePartition = p match {
-    case GraftBucketPartition(b, files) => FilePartition(b, files)
+    case g: GraftBucketPartition => FilePartition(g.bucket, g.files)
     case other => throw new IllegalArgumentException(other.toString)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    inner.createReader(asFilePartition(p))
+    p match {
+      case g: GraftBucketPartition if g.hasDeletes =>
+        new GraftMorReader(g, inner, unfiltered.getOrElse(
+          throw new IllegalStateException(
+            "MOR partition planned without an unfiltered reader factory")))
+      case _ => inner.createReader(asFilePartition(p))
+    }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     inner.createColumnarReader(asFilePartition(p))
 
+  // Ordinal skipping needs the row-by-row path, and Spark requires ONE
+  // input mode per scan ("Cannot mix row-based and columnar") — so a scan
+  // over any delete-carrying snapshot reads all partitions row-based
+  // (costs vectorization only while tombstones exist; compact restores it).
   override def supportColumnarReads(p: InputPartition): Boolean =
-    inner.supportColumnarReads(asFilePartition(p))
+    unfiltered.isEmpty && inner.supportColumnarReads(asFilePartition(p))
+}
+
+/** Row reader applying merge-on-read position deletes: files are read one
+  * at a time; a file with delete ordinals uses the UNFILTERED factory (no
+  * row-group pruning → the sequential row count IS `_metadata.row_index`)
+  * and skips exactly the listed ordinals; files without deletes use the
+  * normal filtered factory.
+  */
+final class GraftMorReader(part: GraftBucketPartition,
+                           filtered: ParquetPartitionReaderFactory,
+                           unfiltered: ParquetPartitionReaderFactory)
+    extends PartitionReader[InternalRow] {
+
+  private var idx = -1
+  private var cur: PartitionReader[InternalRow] = _
+  private var curDel: Array[Long] = Array.empty
+  private var delPtr = 0
+  private var pos = -1L
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        idx += 1
+        if (idx >= part.files.length) return false
+        curDel = if (idx < part.deletes.length) part.deletes(idx)
+          else Array.empty[Long]
+        delPtr = 0
+        pos = -1L
+        val fac = if (curDel.isEmpty) filtered else unfiltered
+        cur = fac.createReader(FilePartition(part.bucket,
+          Array(part.files(idx))))
+      } else if (cur.next()) {
+        pos += 1
+        if (delPtr < curDel.length && curDel(delPtr) == pos) delPtr += 1
+        else return true
+      } else {
+        cur.close()
+        cur = null
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = cur.get()
+
+  override def close(): Unit = if (cur != null) cur.close()
 }

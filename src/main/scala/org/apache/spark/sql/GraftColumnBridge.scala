@@ -20,6 +20,14 @@ object GraftColumnBridge {
   def columnOf(e: Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** DataFrame over a logical plan (classic Dataset.ofRows is
+    * private[sql]) — the SQL row-level commands need to evaluate a MERGE
+    * source plan as a frame.
+    */
+  def dfOf(spark: SparkSession,
+           plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Neutral view of a Column's node tree: function calls over attributes
     * and external-valued literals; anything else is opaque (consumers must
     * treat it conservatively).

@@ -59,9 +59,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(got == want && got.nonEmpty)
     // Same query WITHOUT the rule keeps the map build (proves the built-ins
-    // alone don't fold it — the rule earns its place).
-    val plainPlan = roundTrip(SparkSpec.session)
-      .queryExecution.optimizedPlan.toString
+    // alone don't fold it — the rule earns its place). The base session now
+    // carries GraftExtensions too, so the control excludes the rule by name.
+    val plainPlan = try {
+      SparkSpec.session.conf.set("spark.sql.optimizer.excludedRules",
+        "graft.plans.SimplifyOpenSchemaProjection")
+      roundTrip(SparkSpec.session).queryExecution.optimizedPlan.toString
+    } finally SparkSpec.session.conf.unset("spark.sql.optimizer.excludedRules")
     assert(plainPlan.contains("map_filter"), plainPlan)
   }
 

@@ -20,6 +20,9 @@ object SparkSpec {
       // MICROS timestamps (not deprecated INT96): parquet footers then carry
       // usable min/max for timestamp columns, feeding manifest zone maps.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Engine extensions (native function, optimizer rule, row-level SQL
+      // rewrites) bind at session construction.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
