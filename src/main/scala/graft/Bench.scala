@@ -225,8 +225,14 @@ object Bench {
     // it); min-of-reps measures the plan, not the storm. Four samples per
     // level, each the min of a warmed pair, beats the previous three cold
     // singles at lower total wall.
-    val rounds = (1 to 2).map { r =>
-      levels.map(c =>
+    // Per-level draw counts: the recorded spread across rounds 3-4 lived
+    // almost entirely in the LOW-thread windows (2-thread bests 52.8-69.6 s
+    // across seven draws vs a tight 15.2-18.9 s 8-thread band), so the lo
+    // and mid levels get a third interleaved draw — more independent
+    // windows where the variance actually is, at ~2-3 min extra wall.
+    val drawsPerLevel = Map(cpusN -> 3, cpus4N -> 3, cpusHi -> 2)
+    val rounds = (1 to 3).map { r =>
+      levels.filter(c => drawsPerLevel(c) >= r).map(c =>
         c -> timedBuildIsolated(c, pagesWork, nPages, s"r$r-c$c",
           reps = 2)).toMap
     }

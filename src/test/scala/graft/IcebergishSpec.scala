@@ -653,6 +653,41 @@ class IcebergishSpec extends SparkSpec {
     assert(IcebergishTable.read(spark, table).count() == 8)
   }
 
+  test("slow-staged writes survive vacuum: promote restarts the grace clock") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-slowstage").toString + "/t"
+    IcebergishTable.write(
+      (0 until 8).map(i => (s"k$i", i.toLong)).toDF("k", "v"), table, "k", 4)
+    val seed = IcebergishTable.snapshotFiles(
+      table, IcebergishTable.currentSnapshot(table)).head
+    val bucket = IcebergishTable.bucketOfPath(seed)
+    // A writer that STAGED two hours ago (longer than the vacuum grace)
+    // and only now promotes: Files.move preserves mtime, so without the
+    // promote-time refresh its file would look expired the moment it
+    // became vacuum-visible — a concurrent vacuum could reap it inside
+    // the promote→commit window.
+    val stagedRel = s"data/_staging/q-qslow/epoch-0/b$bucket-qqslow-e0-p0-t0.parquet"
+    val staged = java.nio.file.Paths.get(table, stagedRel)
+    Files.createDirectories(staged.getParent)
+    Files.copy(java.nio.file.Paths.get(table, seed), staged)
+    Files.setLastModifiedTime(staged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    IcebergishTable.streamCommit(table, Seq((bucket, stagedRel)), "qslow", 0L)
+    val promoted = java.nio.file.Paths.get(table,
+      s"data/part=$bucket/b$bucket-qqslow-e0-p0-t0.parquet")
+    assert(Files.exists(promoted))
+    // Grace clock restarted: the promoted file's mtime is NOW, not the
+    // two-hour-old staging time.
+    assert(System.currentTimeMillis() -
+      Files.getLastModifiedTime(promoted).toMillis < 300000L,
+      "promote did not refresh mtime — vacuum grace starts in the past")
+    // And a vacuum with the default grace leaves it (and all data) alone.
+    assert(IcebergishTable.removeOrphans(table, olderThanMs = 3600000L).isEmpty)
+    assert(Files.exists(promoted))
+    assert(IcebergishTable.read(spark, table).count() == 9)
+  }
+
   test("replace-type commits abort with CommitConflict when another writer lands first") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft-cc2").toString + "/t"
