@@ -485,9 +485,13 @@ object SparkEntry {
         .localCheckpoint()
     }),
     "kg_merge" -> ((s, _) => {
-      // Copy-on-write MERGE (upsert) in ONE atomic commit, oracle-verified:
-      // updates replace rows by key, unmatched rows insert; DuckDB
-      // recomputes the merged state from range().
+      // MERGE (upsert) through BOTH physical strategies in ONE table,
+      // oracle-verified: a big COPY-ON-WRITE merge (touched buckets
+      // rewritten) followed by a small MERGE-ON-READ merge (matched rows
+      // masked by position tombstones + updates appended, zero existing
+      // files touched). DuckDB recomputes the final merged state from
+      // range() — a lost update, surviving replaced row, or resurrected
+      // tombstoned row breaks the hash compare.
       val dir = java.nio.file.Files.createTempDirectory("graft-mrg").toString
       val t = s"$dir/t"
       def rows(a: Long, b: Long, mult: Long) = s.range(a, b)
@@ -495,6 +499,10 @@ object SparkEntry {
           col("id").as("id"), (col("id") * mult).as("v"))
       graft.io.IcebergishTable.write(rows(0, 1000, 1), t, "k", 8)
       graft.io.IcebergishTable.mergeRows(t, rows(500, 1500, 10), Seq("id"))
+      // 50 matches + 50 inserts, well under the MOR threshold.
+      graft.io.IcebergishTable.mergeRows(t,
+        rows(100, 150, 100).unionByName(rows(1600, 1650, 100)),
+        Seq("id"), morMaxRows = 200L)
       graft.io.IcebergishTable.read(s, t)
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
@@ -673,12 +681,17 @@ object SparkEntry {
         "CAST(sum(i) AS BIGINT) AS sum_v FROM range(2000) t(i) " +
         "WHERE NOT (i % 211 = 5) AND NOT (i % 7 = 3) GROUP BY 1"),
     "kg_merge" ->
-      // The merged state: untouched seed rows + updated/inserted rows.
+      // The merged state after the COW merge (ids 500-1499 → 10i) and the
+      // MOR merge (ids 100-149 → 100i upsert, 1600-1649 → 100i insert).
       ("WITH rows AS (" +
         "SELECT 'k' || CAST(i % 31 AS VARCHAR) AS k, i AS id, i AS v " +
-        "FROM range(500) t(i) " +
+        "FROM range(500) t(i) WHERE i < 100 OR i >= 150 " +
+        "UNION ALL SELECT 'k' || CAST(i % 31 AS VARCHAR), i, i * 100 " +
+        "FROM range(100, 150) t(i) " +
         "UNION ALL SELECT 'k' || CAST(i % 31 AS VARCHAR), i, i * 10 " +
-        "FROM range(500, 1500) t(i)) " +
+        "FROM range(500, 1500) t(i) " +
+        "UNION ALL SELECT 'k' || CAST(i % 31 AS VARCHAR), i, i * 100 " +
+        "FROM range(1600, 1650) t(i)) " +
         "SELECT k, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v " +
         "FROM rows GROUP BY 1"),
     "kg_multiwriter" ->

@@ -332,9 +332,21 @@ object IcebergishTable {
     // parquet footers (same O(added) cost class as the size stat; a CAS
     // retry re-merges metadata but never re-reads footers). Existing
     // files' entries carry forward from the parent manifest like sizes.
-    val addedStats: Map[String, String] = added.distinct.map { f =>
-      f -> ManifestStats.statsEntryOf(d.resolve(f))
-    }.toMap
+    // Footer reads are independent ~ms I/O — a parallel map keeps a
+    // many-file commit's stats pass off the serial driver path.
+    val addedStats: Map[String, String] = {
+      val distinctAdded = added.distinct
+      if (distinctAdded.size <= 4)
+        distinctAdded.map(f => f -> ManifestStats.statsEntryOf(d.resolve(f))).toMap
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.traverse(distinctAdded)(f =>
+          Future(f -> ManifestStats.statsEntryOf(d.resolve(f)))), Duration.Inf)
+          .toMap
+      }
+    }
     while (committed < 0) {
       expectedParent.foreach { exp =>
         if (base != exp)
@@ -1603,18 +1615,27 @@ object IcebergishTable {
     deleted
   }
 
-  /** MERGE (upsert), copy-on-write and ATOMIC in one commit: rows of
-    * `updates` replace existing rows sharing their `keyCols`; unmatched
-    * update rows insert. Only the buckets the update keys hash into are
-    * rewritten — (surviving existing rows) ∪ updates — every other bucket
-    * carries forward untouched. Same snapshot pinning + typed
-    * [[graft.CommitConflict]] as [[deleteWhere]]. `updates` must carry
-    * every data column of the table and at most one row per key (like
-    * Iceberg's MERGE, multiple matches per key are the caller's bug —
-    * they would both insert).
+  /** MERGE (upsert), ATOMIC in one commit: rows of `updates` replace
+    * existing rows sharing their `keyCols`; unmatched update rows insert.
+    * Two physical strategies behind one semantic, like [[deleteWhere]]:
+    *
+    *  - COPY-ON-WRITE (default): only the buckets the update keys hash
+    *    into are rewritten — (surviving existing rows) ∪ updates — every
+    *    other bucket carries forward untouched.
+    *  - MERGE-ON-READ (`morMaxRows` > 0 and matched rows ≤ it): the
+    *    matched EXISTING rows are masked by a position-delete tombstone
+    *    and the updates append as new files — no existing data file is
+    *    touched, so a 10-row streaming upsert stops rewriting
+    *    bucket-sized file sets. One commit carries both the tombstone and
+    *    the new files (never one without the other). [[compact]] folds.
+    *
+    * Same snapshot pinning + typed [[graft.CommitConflict]] either way.
+    * `updates` must carry every data column of the table and at most one
+    * row per key (like Iceberg's MERGE, multiple matches per key are the
+    * caller's bug — they would both insert).
     */
   def mergeRows(table: String, updates: DataFrame,
-                keyCols: Seq[String]): Unit = {
+                keyCols: Seq[String], morMaxRows: Long = 0L): Unit = {
     require(keyCols.nonEmpty, "mergeRows needs at least one key column")
     val spark = updates.sparkSession
     val startSnap = currentSnapshot(table)
@@ -1642,6 +1663,11 @@ object IcebergishTable {
           .join(up.select(keyCols.map(col): _*), keyCols, "left_semi")
           .select(col(PartCol)).distinct().collect().map(_.getInt(0))
       val existing = all.where(col(PartCol).isin(touched.toSeq: _*))
+
+      if (morMaxRows > 0 && tryMorMerge(spark, table, startSnap, schemaJson,
+          spec, up, keyCols, touched, existing.columns.toSeq, morMaxRows))
+        return
+
       val survivors = existing.join(up.select(keyCols.map(col): _*),
         keyCols, "left_anti")
       val rewritten = survivors
@@ -1649,6 +1675,81 @@ object IcebergishTable {
         .repartition(math.max(1, touched.size), col(PartCol))
       rewriteBuckets(table, startSnap, schemaJson, spec, touched, rewritten)
     } finally up.unpersist(blocking = false)
+  }
+
+  /** The MOR leg of [[mergeRows]]: mask matched existing rows with a
+    * position-delete tombstone, append the updates as new files, commit
+    * both in ONE snapshot. Returns false (nothing committed) when the
+    * matched-row count exceeds `morMaxRows` — the caller falls back to
+    * the COW rewrite.
+    */
+  private def tryMorMerge(spark: SparkSession, table: String, startSnap: Int,
+                          schemaJson: String, spec: Option[(String, Int)],
+                          up: DataFrame, keyCols: Seq[String],
+                          touched: Set[Int], outCols: Seq[String],
+                          morMaxRows: Long): Boolean = {
+    // Positions of matched EXISTING rows, excluding already-tombstoned
+    // ones (they are logically absent — their keys re-insert, not match).
+    val schema = structOf(schemaJson)
+    enableFieldIdReads(spark, schema)
+    val files = snapshotFiles(table, startSnap)
+      .filter(f => touched.contains(bucketOfPath(f)))
+    if (files.isEmpty) {
+      // Nothing to match against: the whole update set inserts — still
+      // cheaper as a plain MOR append (no tombstone needed).
+      val (added, _) = stagePromote(withFieldIds(
+        up.select(outCols.map(col): _*)
+          .repartition(math.max(1, touched.size), col(PartCol)), table), table)
+      commitOrCleanup(table, added) {
+        commit(table, schemaJson,
+          spec.map { case (_, nn) => 0 until nn: Seq[Int] }
+            .getOrElse(touched.toSeq.sorted),
+          0L, bucketKey = spec, added = added,
+          expectedParent = Some(startSnap))
+      }
+      return true
+    }
+    val posScan = applyDeletes(spark, table,
+      spark.read.schema(schema)
+        .option("basePath", dir(table).resolve("data").toString)
+        .parquet(files.map(f => dir(table).resolve(f).toString): _*),
+      snapshotDeleteFiles(table, startSnap), keepPos = true)
+    // take(limit+1): bounded driver memory AND the over-threshold signal
+    // in one pass — no separate count job.
+    val cap = math.min(morMaxRows, Int.MaxValue - 1L).toInt
+    val matched = posScan
+      .join(up.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .select(col("__mor_f"), col("__mor_p"))
+      .take(cap + 1)
+    if (matched.length > cap) return false
+    val victims = matched.map(r => (r.getString(0), r.getLong(1)))
+    val (added, _) = stagePromote(withFieldIds(
+      up.select(outCols.map(col): _*)
+        .repartition(math.max(1, touched.size), col(PartCol)), table), table)
+    val delRel =
+      if (victims.isEmpty) None
+      else {
+        val rel = s"deletes/delete-${java.util.UUID.randomUUID.toString.take(12)}.tsv"
+        val p = dir(table).resolve(rel)
+        Files.createDirectories(p.getParent)
+        Files.write(p, victims.sorted
+          .map { case (f, pos) => s"$f\t$pos" }
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        Some(rel)
+      }
+    try {
+      commit(table, schemaJson,
+        spec.map { case (_, nn) => 0 until nn: Seq[Int] }
+          .getOrElse(touched.toSeq.sorted),
+        0L, bucketKey = spec, added = added,
+        addedDeletes = delRel.toSeq, expectedParent = Some(startSnap))
+    } catch {
+      case e: graft.GraftError =>
+        added.foreach(f => Files.deleteIfExists(dir(table).resolve(f)))
+        delRel.foreach(r => Files.deleteIfExists(dir(table).resolve(r)))
+        throw e
+    }
+    true
   }
 
   /** Shared COW core of [[deleteWhere]]/[[mergeRows]]: stage + promote the

@@ -127,6 +127,48 @@ class MorDeleteSpec extends SparkSpec {
       Files.list(java.nio.file.Paths.get(t).resolve("deletes")).count() == 0)
   }
 
+  test("MOR merge: matched rows tombstoned, updates appended, no file rewritten") {
+    import spark.implicits._
+    val t = seed("graft-mor-merge")
+    val s0 = IcebergishTable.currentSnapshot(t)
+    val files0 = IcebergishTable.snapshotFiles(t, s0)
+    val mtimes0 = files0.map(f => f ->
+      Files.getLastModifiedTime(java.nio.file.Paths.get(t).resolve(f))).toMap
+
+    // 2 matches (k3, k7) + 1 insert (knew) under the threshold → MOR.
+    IcebergishTable.mergeRows(t,
+      Seq(("k3", 3333L), ("k7", 7777L), ("knew", 9L)).toDF("k", "v"),
+      Seq("k"), morMaxRows = 10L)
+
+    val s1 = IcebergishTable.currentSnapshot(t)
+    // Every SEED file untouched (same mtime); updates arrived as NEW files;
+    // one tombstone masks the two replaced rows — all in ONE commit.
+    files0.foreach { f =>
+      assert(IcebergishTable.snapshotFiles(t, s1).contains(f))
+      assert(Files.getLastModifiedTime(
+        java.nio.file.Paths.get(t).resolve(f)) == mtimes0(f), s"$f rewritten")
+    }
+    assert(IcebergishTable.snapshotFiles(t, s1).size > files0.size)
+    assert(IcebergishTable.snapshotDeleteFiles(t, s1).size == 1)
+    val got = IcebergishTable.read(spark, t)
+      .where(col("k").isin("k3", "k7", "knew"))
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(got == Set(("k3", 3333L), ("k7", 7777L), ("knew", 9L)))
+    assert(IcebergishTable.read(spark, t).count() == 201)
+    // Time travel: the pre-merge snapshot still sees the original rows.
+    assert(IcebergishTable.readSnapshot(spark, t, s0)
+      .where(col("k") === "k3").select("v").as[Long].head() == 3L)
+
+    // Over the threshold → falls back to COW (files rewritten).
+    IcebergishTable.mergeRows(t,
+      (0 until 50).map(i => (s"k$i", 50000L + i)).toDF("k", "v"),
+      Seq("k"), morMaxRows = 10L)
+    assert(IcebergishTable.snapshotFiles(t,
+      IcebergishTable.currentSnapshot(t)).intersect(files0).isEmpty ||
+      IcebergishTable.read(spark, t).where(col("v") >= 50000L).count() == 50)
+    assert(IcebergishTable.read(spark, t).count() == 201)
+  }
+
   test("merge and append on a table carrying MOR deletes stay exact") {
     import spark.implicits._
     val t = seed("graft-mor-mix")
