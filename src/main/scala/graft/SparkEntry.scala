@@ -437,6 +437,28 @@ object SparkEntry {
         case (k, None) => s.conf.unset(k)
       }
     }),
+    "kg_rebucket" -> ((s, _) => {
+      // Partition-spec evolution under the oracle: write bucketed by k,
+      // REBUCKET to (w, 4) — every row rewritten into the new layout in
+      // one replace-all commit — then append under the NEW spec and
+      // aggregate by w. DuckDB recomputes from range(): a row lost,
+      // duplicated, or mis-bucketed by the layout migration breaks the
+      // hash compare.
+      val dir = java.nio.file.Files.createTempDirectory("graft-rb").toString
+      val t = s"$dir/t"
+      def slice(a: Long, b: Long): DataFrame = s.range(a, b)
+        .select(concat(lit("k"), col("id") % 37).as("k"),
+          concat(lit("w"), col("id") % 11).as("w"), col("id").as("v"))
+      graft.io.IcebergishTable.write(slice(0, 900), t, "k", 8)
+      graft.io.IcebergishTable.rebucket(s, t, "w", 4)
+      graft.io.IcebergishTable.write(slice(900, 1200), t, "w", 4,
+        org.apache.spark.sql.SaveMode.Append)
+      graft.io.IcebergishTable.read(s, t)
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy(col("w"))
+        .localCheckpoint()
+    }),
     "kg_compact" -> ((s, _) => {
       // Table-maintenance round trip, oracle-verified: three bucketed
       // appends (3 file sets per bucket), then compact (tombstone the
@@ -671,6 +693,10 @@ object SparkEntry {
         "CAST(sum(i) AS BIGINT) AS sum_v, CAST(min(i) AS BIGINT) AS min_v, " +
         "CAST(max(i) AS BIGINT) AS max_v " +
         "FROM range(100000, 100900) t(i) GROUP BY 1"),
+    "kg_rebucket" ->
+      // The layout migration + post-migration append must preserve rows.
+      ("SELECT 'w' || CAST(i % 11 AS VARCHAR) AS w, count(*) AS n, " +
+        "CAST(sum(i) AS BIGINT) AS sum_v FROM range(1200) t(i) GROUP BY 1"),
     "kg_compact" ->
       // Compaction + expiry must preserve exactly the appended rows.
       ("SELECT 'k' || CAST(i % 37 AS VARCHAR) AS k, count(*) AS n, " +

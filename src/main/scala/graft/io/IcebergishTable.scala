@@ -1511,6 +1511,52 @@ object IcebergishTable {
     addTombstones(table, prevFiles.toSeq)
   }
 
+  /** PARTITION-SPEC EVOLUTION: rewrite the table under a new bucket
+    * layout (different key and/or bucket count) in one replace-all commit
+    * — the Iceberg `REPLACE PARTITION FIELD` analog for a hash-bucketed
+    * format whose layout IS physical. History is preserved: superseded
+    * files are tombstoned (old snapshots keep time-traveling under the
+    * OLD spec — era metadata, like era schemas) and [[expireSnapshots]]
+    * reclaims. After the commit the catalog reports the new
+    * `bucket(newNumParts, newKey)` transform, appends validate against
+    * the new spec, and storage-partitioned joins co-partition on it.
+    * Pinned + typed [[graft.CommitConflict]] like every replace-type
+    * commit; MOR tombstones fold into the rewrite.
+    */
+  def rebucket(spark: SparkSession, table: String, newKey: String,
+               newNumParts: Int): Unit = {
+    require(newNumParts > 0, s"bucket count must be positive, got $newNumParts")
+    val startSnap = currentSnapshot(table)
+    if (startSnap < 0) throw new graft.TableNotFound(table)
+    val (schemaJson, _) = manifestMetaAt(table, startSnap)
+    val dataCols = structOf(schemaJson).fieldNames.filterNot(_ == PartCol)
+    if (!dataCols.contains(newKey))
+      throw new graft.InvalidConfig(
+        s"new bucket key '$newKey' is not a column of ${dataCols.mkString(",")}")
+    val prevFiles = snapshotFilesOpt(table, startSnap).getOrElse(
+      throw new graft.ManifestCorrupted(table, startSnap,
+        "VERSION points at a missing manifest")).toSet
+    val rewritten = withFieldIds(readSnapshot(spark, table, startSnap)
+      .drop(PartCol)
+      .withColumn(PartCol, partExpr(newKey, newNumParts))
+      .repartition(newNumParts, col(PartCol)), table)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rewritten.count() // materialize before the inputs are superseded
+    val (fresh, _) =
+      try stagePromote(rewritten, table)
+      finally rewritten.unpersist(blocking = false)
+    try {
+      commit(table, rewritten.schema.json, 0 until newNumParts, 0L,
+        bucketKey = Some((newKey, newNumParts)), added = fresh,
+        replaceAll = true, expectedParent = Some(startSnap))
+    } catch {
+      case e: graft.CommitConflict =>
+        fresh.foreach(f => Files.deleteIfExists(dir(table).resolve(f)))
+        throw e
+    }
+    addTombstones(table, prevFiles.toSeq)
+  }
+
   /** Row-level DELETE. Two physical strategies behind one semantic:
     *
     *  - COPY-ON-WRITE (default, Iceberg v1): rewrite ONLY the buckets

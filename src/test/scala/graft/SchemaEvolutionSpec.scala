@@ -138,6 +138,54 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("rebucket: partition-spec evolution preserves rows, history, and gates") {
+    import spark.implicits._
+    val t = freshTable("graft-rebucket")
+    IcebergishTable.write(
+      (0 until 120).map(i => (s"k$i", s"w${i % 5}", i.toLong))
+        .toDF("k", "w", "v"), t, "k", 4)
+    val s0 = IcebergishTable.currentSnapshot(t)
+
+    IcebergishTable.rebucket(spark, t, "w", 8)
+
+    // Rows identical; spec evolved; the new layout really is by w.
+    assert(IcebergishTable.bucketSpecOf(t).contains(("w", 8)))
+    assert(IcebergishTable.read(spark, t).count() == 120)
+    assert(IcebergishTable.read(spark, t).agg(sum("v")).as[Long].head() ==
+      (0 until 120).map(_.toLong).sum)
+    val cur = IcebergishTable.currentSnapshot(t)
+    val byBucket = IcebergishTable.read(spark, t)
+      .groupBy(col(IcebergishTable.PartCol), col("w")).count()
+      .select("w", IcebergishTable.PartCol)
+      .as[(String, Int)].collect().groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(byBucket.values.forall(_.length == 1), "a w value spans buckets")
+
+    // Era metadata: the old snapshot still reads under the OLD spec.
+    assert(IcebergishTable.manifestMetaAt(t, s0)._2.contains(("k", 4)))
+    assert(IcebergishTable.readSnapshot(spark, t, s0).count() == 120)
+    // The catalog reports the NEW transform.
+    val tbl = new graft.sources.v2.GraftTable("t", t)
+    assert(tbl.partitioning().head.toString.contains("w"))
+
+    // Appends: new spec accepted, old spec rejected typed.
+    IcebergishTable.write(Seq(("kx", "w9", 1000L)).toDF("k", "w", "v"),
+      t, "w", 8, org.apache.spark.sql.SaveMode.Append)
+    assert(IcebergishTable.read(spark, t).count() == 121)
+    intercept[BucketSpecMismatch] {
+      IcebergishTable.write(Seq(("ky", "w9", 1L)).toDF("k", "w", "v"),
+        t, "k", 4, org.apache.spark.sql.SaveMode.Append)
+    }
+    // Field ids survived the rewrite: rename still works afterwards.
+    IcebergishTable.renameColumn(t, "v", "val")
+    assert(IcebergishTable.read(spark, t).agg(sum("val")).as[Long].head() ==
+      (0 until 120).map(_.toLong).sum + 1000L)
+    // Expiry reclaims the old layout's files.
+    IcebergishTable.expireSnapshots(t, keepLast = 1)
+    intercept[SnapshotNotFound] {
+      IcebergishTable.readSnapshot(spark, t, s0).count()
+    }
+  }
+
   test("renamed table round-trips through the fused KG write path") {
     import spark.implicits._
     // The hot-path sinks (writePrePartitioned) must produce id-annotated
