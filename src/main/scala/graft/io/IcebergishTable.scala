@@ -1731,12 +1731,29 @@ object IcebergishTable {
     */
   private def tryMorMerge(spark: SparkSession, table: String, startSnap: Int,
                           schemaJson: String, spec: Option[(String, Int)],
-                          up: DataFrame, keyCols: Seq[String],
+                          up0: DataFrame, keyCols: Seq[String],
                           touched: Set[Int], outCols: Seq[String],
                           morMaxRows: Long): Boolean = {
+    val schema = structOf(schemaJson)
+    // Type gate: the COW leg's unionByName coerces updates against
+    // existing rows; this leg writes the updates STANDALONE, so a
+    // mistyped column would land files whose physical types contradict
+    // the manifest schema. Safe widenings cast; anything else rejects
+    // typed, matching the append gate's discipline.
+    val up = {
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      up0.select(outCols.map { c =>
+        val want = schema(c).dataType
+        val got = up0.schema(c).dataType
+        if (got == want) col(c)
+        else if (Cast.canUpCast(got, want)) col(c).cast(want).as(c)
+        else throw new graft.SchemaMismatch(table, schema.simpleString,
+          up0.schema.simpleString,
+          s"MERGE updates column '$c' has type ${got.simpleString}, table expects ${want.simpleString}")
+      }: _*)
+    }
     // Positions of matched EXISTING rows, excluding already-tombstoned
     // ones (they are logically absent — their keys re-insert, not match).
-    val schema = structOf(schemaJson)
     enableFieldIdReads(spark, schema)
     val files = snapshotFiles(table, startSnap)
       .filter(f => touched.contains(bucketOfPath(f)))

@@ -176,7 +176,12 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
     val updates = src.select(columns.map { case (name, expr) =>
       org.apache.spark.sql.GraftColumnBridge.columnOf(expr).as(name)
     }: _*)
-    graft.io.IcebergishTable.mergeRows(path, updates, keyCols)
+    // Same strategy dial as DELETE: matched rows at or below the
+    // threshold take the MOR leg (tombstone + append), larger merges COW.
+    val morMax = spark.conf.getOption("spark.graft.merge.morMaxRows")
+      .map(_.toLong).getOrElse(10000L)
+    graft.io.IcebergishTable.mergeRows(path, updates, keyCols,
+      morMaxRows = morMax)
     Seq.empty
   }
 }
