@@ -453,6 +453,11 @@ final case class GraftSnapshotOffset(snapshot: Int)
   * rollback inside a planned range surfaces loudly (manifest diff contains
   * rewritten files / the range reads fewer files than the live set), the
   * same restriction Iceberg documents for its append-only streaming reads.
+  * Merge-on-read position deletes are likewise append-stream semantics: a
+  * MOR delete commit adds no data files (empty batch), and tombstones are
+  * NOT retro-applied to rows already emitted — a MOR merge's batch emits
+  * exactly its appended update rows. Consumers needing delete-aware
+  * replays read batch snapshots instead.
   */
 final class GraftMicroBatchStream(path: String, dataSchema: StructType,
                                   readDataSchema: StructType,
