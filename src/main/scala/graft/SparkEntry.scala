@@ -437,6 +437,28 @@ object SparkEntry {
         case (k, None) => s.conf.unset(k)
       }
     }),
+    "kg_eq_delete" -> ((s, _) => {
+      // Equality deletes under the oracle, INCLUDING sequence scoping: a
+      // blind delete-by-key (no data scan), then an append that REUSES
+      // deleted keys — the re-inserted rows must survive (their files'
+      // sequence exceeds the delete's) while the pre-delete rows stay
+      // dead. DuckDB recomputes both eras from range().
+      val dir = java.nio.file.Files.createTempDirectory("graft-eqd").toString
+      val t = s"$dir/t"
+      def slice(a: Long, b: Long): DataFrame = s.range(a, b)
+        .select(concat(lit("k"), col("id") % 41).as("k"), col("id").as("v"))
+      graft.io.IcebergishTable.write(slice(0, 1000), t, "k", 8)
+      graft.io.IcebergishTable.deleteEquality(s, t,
+        s.range(0, 2).select(concat(lit("k"), col("id") + 1).as("k")), // k1,k2
+        Seq("k"))
+      graft.io.IcebergishTable.write(slice(1000, 1100), t, "k", 8,
+        org.apache.spark.sql.SaveMode.Append)
+      graft.io.IcebergishTable.read(s, t)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy(col("k"))
+        .localCheckpoint()
+    }),
     "kg_rebucket" -> ((s, _) => {
       // Partition-spec evolution under the oracle: write bucketed by k,
       // REBUCKET to (w, 4) — every row rewritten into the new layout in
@@ -693,6 +715,16 @@ object SparkEntry {
         "CAST(sum(i) AS BIGINT) AS sum_v, CAST(min(i) AS BIGINT) AS min_v, " +
         "CAST(max(i) AS BIGINT) AS max_v " +
         "FROM range(100000, 100900) t(i) GROUP BY 1"),
+    "kg_eq_delete" ->
+      // Era 1 minus the deleted keys, plus era 2 complete (re-inserts
+      // survive the seq-scoped tombstone).
+      ("WITH rows AS (" +
+        "SELECT 'k' || CAST(i % 41 AS VARCHAR) AS k, i AS v " +
+        "FROM range(1000) t(i) WHERE i % 41 NOT IN (1, 2) " +
+        "UNION ALL SELECT 'k' || CAST(i % 41 AS VARCHAR), i " +
+        "FROM range(1000, 1100) t(i)) " +
+        "SELECT k, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v " +
+        "FROM rows GROUP BY 1"),
     "kg_rebucket" ->
       // The layout migration + post-migration append must preserve rows.
       ("SELECT 'w' || CAST(i % 11 AS VARCHAR) AS w, count(*) AS n, " +

@@ -381,6 +381,21 @@ object IcebergishTable {
         .map(_.toMap).getOrElse(Map.empty)
       val sizes = fileList.map(f =>
         prevSizes.getOrElse(f, Files.size(d.resolve(f))))
+      // Per-file SEQUENCE numbers (the snapshot that added each file),
+      // index-aligned like sizes: what scopes an EQUALITY delete to the
+      // files that existed when it committed — rows in files appended (or
+      // rewritten) later carry a higher seq and are exempt, which is
+      // exactly how a deleted key legally re-inserts. Files inherited
+      // from pre-seq manifests default to seq 0 (every eq delete applies
+      // — conservative in the right direction: over-deleting was the
+      // caller's stated intent for those keys).
+      val prevSeqs: Map[String, Long] = parentJson
+        .flatMap(j => seqsFromJson(j, table, base))
+        .map(_.toMap).getOrElse(Map.empty)
+      val addedSet = added.toSet
+      val seqs = fileList.map(f =>
+        if (addedSet.contains(f)) target.toLong
+        else prevSeqs.getOrElse(f, 0L))
       // Per-file column stats, index-aligned with "files" exactly like
       // sizes: parent entries carry forward, own files use the footer
       // reads above, anything else (pre-stats parents) degrades to an
@@ -406,10 +421,22 @@ object IcebergishTable {
         ((if (replaceAll) Seq.empty
           else parentJson.map(deletesFromJson).getOrElse(Seq.empty)) ++
           addedDeletes).distinct.sorted
+      // Delete-file sequence numbers (aligned with "deletes"): an EQUALITY
+      // delete applies to data files with fileSeq < its delseq — assigned
+      // HERE, at manifest build time, so a CAS retry that lands on a later
+      // snapshot re-scopes the delete over everything that serialized
+      // before it (the natural linearization; no parent pin needed).
+      val prevDelSeqs: Map[String, Long] = parentJson
+        .flatMap(j => delseqsFromJson(j)).map(_.toMap).getOrElse(Map.empty)
+      val addedDeletesSet = addedDeletes.toSet
+      val delseqs = deletesList.map(f =>
+        if (addedDeletesSet.contains(f)) target.toLong
+        else prevDelSeqs.getOrElse(f, 0L))
       val deletesMeta =
         if (deletesList.isEmpty) ""
         else deletesList.map(f => "\"" + esc(f) + "\"")
-          .mkString("\"deletes\":[", ",", "],")
+          .mkString("\"deletes\":[", ",", "],") +
+          delseqs.mkString("\"delseqs\":[", ",", "],")
       val epochs =
         parentJson.map(epochsFromJson).getOrElse(Map.empty) ++ epochUpdate
       val epochMeta =
@@ -440,6 +467,7 @@ object IcebergishTable {
       val manifest =
         s"""{"snapshot":$target,"rows":$rows,$bucketMeta$epochMeta$fidMeta$deletesMeta"partitions":[${parts.sorted.mkString(",")}],
            |"sizes":[${sizes.mkString(",")}],
+           |"seqs":[${seqs.mkString(",")}],
            |"files":[${files.mkString(",")}],
            |"colstats":[${colstats.mkString(",")}],
            |"schema":$effSchemaJson}""".stripMargin.replace("\n", "")
@@ -908,6 +936,27 @@ object IcebergishTable {
         .toSeq
     }
 
+  /** (delete file → sequence number) pairs, aligned from "delseqs". */
+  private def delseqsFromJson(json: String): Option[Seq[(String, Long)]] =
+    """"delseqs":\[([0-9,\s]*)\]""".r.findFirstMatchIn(json).flatMap { g =>
+      val seqs = g.group(1).split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      val dels = deletesFromJson(json)
+      if (dels.length == seqs.length) Some(dels.zip(seqs)) else None
+    }
+
+  /** Delete-file sequence numbers of a snapshot. Pre-delseq manifests can
+    * only contain POSITION delete files (equality deletes arrived with
+    * delseqs), which never consult their seq — 0 keeps the map total.
+    */
+  def snapshotDeleteSeqs(table: String, snapshot: Int): Map[String, Long] = {
+    val m = dir(table).resolve(s"snap-$snapshot.json")
+    if (!Files.exists(m)) return Map.empty
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    delseqsFromJson(json).map(_.toMap)
+      .getOrElse(deletesFromJson(json).map(_ -> 0L).toMap)
+  }
+
   /** Position-delete files recorded in a snapshot's manifest (relative
     * paths under `deletes/`). Empty when the snapshot predates MOR deletes
     * or has none.
@@ -937,35 +986,216 @@ object IcebergishTable {
       }.toSeq
   }
 
-  /** Anti-join `df` (a parquet read over this table's files) against the
-    * snapshot's position-delete entries: rows whose (file, row-ordinal)
-    * pair is deleted disappear. Entries referencing files outside the
-    * read's file list never match — stale entries after a COW rewrite are
-    * harmless by construction. Delete sets are driver-small (MOR is for
-    * SMALL mutations; large deletes take the COW path), so the join side
-    * broadcasts.
+  /** Relative-path prefix distinguishing EQUALITY delete files (key-based,
+    * seq-scoped) from position-delete files (ordinal-based) in the shared
+    * manifest deletes list.
     */
-  private def applyDeletes(spark: SparkSession, table: String, df: DataFrame,
+  private val EqDeletePrefix = "deletes/eq-"
+
+  /** True for EQUALITY delete files (vs position deletes) in a manifest's
+    * deletes list — the DSv2 scan routes the two kinds differently.
+    */
+  def isEqDeleteFile(rel: String): Boolean = rel.startsWith(EqDeletePrefix)
+
+  /** Anti-join `df` (a parquet read over this table's files) against the
+    * snapshot's delete files:
+    *
+    *  - POSITION deletes: rows whose (file, row-ordinal) pair is listed
+    *    disappear. Entries referencing files outside the read's file list
+    *    never match — stale entries after a COW rewrite are harmless.
+    *  - EQUALITY deletes: rows whose key tuple is listed disappear IF
+    *    their data file's sequence number predates the delete's
+    *    (fileSeq < delseq) — later appends legally re-insert the key.
+    *
+    * Delete sets are driver-small by their write paths' own caps, so the
+    * join sides broadcast.
+    */
+  private def applyDeletes(spark: SparkSession, table: String, snapshot: Int,
+                           df: DataFrame,
                            deleteFiles: Seq[String],
                            lenient: Boolean = false,
                            keepPos: Boolean = false): DataFrame = {
     if (deleteFiles.isEmpty) return if (keepPos) withMorPos(df) else df
-    val entries = deleteFiles.flatMap(readDeleteFile(table, _, lenient))
-    if (entries.isEmpty) return if (keepPos) withMorPos(df) else df
-    val delDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        entries.map { case (f, p) => org.apache.spark.sql.Row(f, p) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__del_file",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("__del_pos",
-          org.apache.spark.sql.types.LongType))))
-    val joined = withMorPos(df)
-      .join(broadcast(delDf),
+    val (eqFiles, posFiles) = deleteFiles.partition(_.startsWith(EqDeletePrefix))
+    val posEntries = posFiles.flatMap(readDeleteFile(table, _, lenient))
+    if (posEntries.isEmpty && eqFiles.isEmpty)
+      return if (keepPos) withMorPos(df) else df
+    var out = withMorPos(df)
+    if (posEntries.nonEmpty) {
+      val delDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          posEntries.map { case (f, p) => org.apache.spark.sql.Row(f, p) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__del_file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__del_pos",
+            org.apache.spark.sql.types.LongType))))
+      out = out.join(broadcast(delDf),
         col("__mor_f") === col("__del_file") &&
           col("__mor_p") === col("__del_pos"),
         "left_anti")
-    if (keepPos) joined else joined.drop("__mor_f", "__mor_p")
+    }
+    if (eqFiles.nonEmpty) {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val schema = df.schema
+      val delseqs = snapshotDeleteSeqs(table, snapshot)
+      val fileSeqs = snapshotFileSeqs(table, snapshot)
+      // Each row's data-file sequence, via a broadcast (file → seq) join.
+      val seqDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(fileSeqs.toSeq.map { case (f, sq) =>
+          org.apache.spark.sql.Row(f, sq) }, 1),
+        StructType(Seq(StructField("__sq_file", StringType),
+          StructField("__file_seq", LongType))))
+      out = out.join(broadcast(seqDf),
+        col("__mor_f") === col("__sq_file"), "left")
+        .drop("__sq_file")
+      // Group eq files by their key-column sets; one anti-join per group.
+      val parsed = eqFiles.flatMap { f =>
+        readEqDeleteFile(table, f, lenient).map { case (cols, rows) =>
+          (cols, rows, delseqs.getOrElse(f, 0L))
+        }
+      }
+      parsed.groupBy(_._1).foreach { case (cols, group) =>
+        val types = cols.map(c => schema(c).dataType)
+        val eqRows = group.flatMap { case (_, rows, sq) =>
+          rows.map { cells =>
+            org.apache.spark.sql.Row.fromSeq(
+              cells.zip(types).map { case (cell, dt) =>
+                decodeEqCell(cell, dt) } :+ sq)
+          }
+        }
+        val eqDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(eqRows, 1),
+          StructType(cols.zip(types).map { case (c, dt) =>
+            StructField(s"__eq_$c", dt) } :+ StructField("__eq_seq", LongType)))
+        val cond = cols.map(c => col(c) === col(s"__eq_$c"))
+          .reduce(_ && _) && col("__file_seq") < col("__eq_seq")
+        out = out.join(broadcast(eqDf), cond, "left_anti")
+      }
+      out = out.drop("__file_seq")
+    }
+    if (keepPos) out else out.drop("__mor_f", "__mor_p")
+  }
+
+  private def escTsv(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
+  private def unescTsv(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b.append('\t'); case 'n' => b.append('\n')
+          case 'r' => b.append('\r'); case o => b.append(o)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private def decodeEqCell(cell: String,
+                           dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => unescTsv(cell)
+      case LongType => cell.toLong
+      case IntegerType => cell.toInt
+      case ShortType => cell.toShort
+      case ByteType => cell.toByte
+      case other => throw new graft.InvalidConfig(
+        s"equality-delete key type ${other.simpleString} is not supported")
+    }
+  }
+
+  /** Parse one equality-delete file: header `#eq\t<col1>,<col2>` then one
+    * TSV row of escaped key values per line.
+    */
+  private[graft] def readEqDeleteFile(table: String, rel: String,
+                                      lenient: Boolean = false)
+      : Option[(Seq[String], Seq[Array[String]])] = {
+    val p = dir(table).resolve(rel)
+    if (!Files.exists(p)) {
+      if (lenient) return None
+      throw new graft.ManifestCorrupted(table, currentSnapshot(table),
+        s"manifest references missing delete file $rel")
+    }
+    val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+    if (lines.isEmpty || !lines.head.startsWith("#eq\t")) {
+      if (lenient) return None
+      throw new graft.ManifestCorrupted(table, currentSnapshot(table),
+        s"equality-delete file $rel has no #eq header")
+    }
+    val cols = lines.head.stripPrefix("#eq\t").split(",").toSeq
+    Some((cols, lines.tail.map(_.split("\t", -1))))
+  }
+
+  /** EQUALITY DELETE (Iceberg v2 equality-delete files): delete every row
+    * whose `keyCols` tuple appears in `keys` — WITHOUT reading any data.
+    * A blind O(keys) metadata commit: the delete file records the key
+    * tuples, the manifest records its sequence number, and every read
+    * path drops matching rows from data files whose own sequence predates
+    * it. A key appended AFTER this delete re-inserts cleanly (its file's
+    * seq is higher). No snapshot pin — blind deletes compose with
+    * concurrent appends under the commit CAS, and a CAS retry re-scopes
+    * the delete over everything that serialized before it.
+    *
+    * Keys: string/integral columns only (typed rejection otherwise);
+    * rows containing a null key are dropped (SQL equality never matches
+    * null). At most `maxKeys` distinct tuples — larger deletes should use
+    * [[deleteWhere]]'s scan-based paths. [[compact]] folds the tombstone
+    * into data; expiry reclaims the file.
+    */
+  def deleteEquality(spark: SparkSession, table: String, keys: DataFrame,
+                     keyCols: Seq[String], maxKeys: Int = 100000): Unit = {
+    require(keyCols.nonEmpty, "deleteEquality needs at least one key column")
+    if (currentSnapshot(table) < 0) throw new graft.TableNotFound(table)
+    val (schemaJson, spec) = manifestMeta(table)
+    val schema = structOf(schemaJson)
+    keyCols.foreach { c =>
+      if (!schema.fieldNames.contains(c))
+        throw new graft.InvalidConfig(s"no such column '$c' in $table")
+      import org.apache.spark.sql.types._
+      schema(c).dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType =>
+        case dt => throw new graft.InvalidConfig(
+          s"equality-delete keys must be string or integral; '$c' is ${dt.simpleString}")
+      }
+    }
+    val rows = keys.select(keyCols.map(col): _*).na.drop().distinct()
+      .take(maxKeys + 1)
+    if (rows.length > maxKeys)
+      throw new graft.InvalidConfig(
+        s"equality delete exceeds maxKeys=$maxKeys distinct tuples — use " +
+          "deleteWhere (zone-map-pruned scan + COW/MOR) for large deletes")
+    if (rows.isEmpty) return
+    val rel = s"$EqDeletePrefix${java.util.UUID.randomUUID.toString.take(12)}.tsv"
+    val p = dir(table).resolve(rel)
+    Files.createDirectories(p.getParent)
+    val body = rows.map { r =>
+      keyCols.indices.map { i =>
+        r.get(i) match {
+          case s: String => escTsv(s)
+          case other => other.toString
+        }
+      }.mkString("\t")
+    }.sorted
+    Files.write(p,
+      (s"#eq\t${keyCols.mkString(",")}" +: body)
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    try {
+      commit(table, schemaJson,
+        spec.map { case (_, n) => 0 until n: Seq[Int] }.getOrElse(Seq.empty),
+        0L, bucketKey = spec, addedDeletes = Seq(rel))
+    } catch {
+      case e: graft.GraftError =>
+        Files.deleteIfExists(p)
+        throw e
+    }
   }
 
   /** Attach (table-relative file, row ordinal) columns to a parquet read.
@@ -1129,7 +1359,7 @@ object IcebergishTable {
       // add-column semantics.
       val schema = structOf(schemaJson)
       enableFieldIdReads(spark, schema)
-      applyDeletes(spark, table,
+      applyDeletes(spark, table, snap,
         spark.read
           .schema(schema)
           .option("basePath", dir(table).resolve("data").toString)
@@ -1178,7 +1408,7 @@ object IcebergishTable {
     if (files.nonEmpty) {
       val schema = structOf(manifestMeta(table)._1)
       enableFieldIdReads(spark, schema)
-      applyDeletes(spark, table,
+      applyDeletes(spark, table, snap,
         spark.read
           .schema(schema)
           .option("basePath", dir(table).resolve("data").toString)
@@ -1211,7 +1441,7 @@ object IcebergishTable {
       // resolution keeps renamed columns readable under their era name).
       val schema = structOf(schemaJsonFrom(json, table, snapshot))
       enableFieldIdReads(spark, schema)
-      applyDeletes(spark, table,
+      applyDeletes(spark, table, snapshot,
         spark.read
           .schema(schema)
           .option("basePath", dir(table).resolve("data").toString)
@@ -1610,7 +1840,7 @@ object IcebergishTable {
     val predScan = {
       val schema = structOf(schemaJson)
       enableFieldIdReads(spark, schema)
-      applyDeletes(spark, table,
+      applyDeletes(spark, table, startSnap,
         spark.read
           .schema(schema)
           .option("basePath", dir(table).resolve("data").toString)
@@ -1772,7 +2002,7 @@ object IcebergishTable {
       }
       return true
     }
-    val posScan = applyDeletes(spark, table,
+    val posScan = applyDeletes(spark, table, startSnap,
       spark.read.schema(schema)
         .option("basePath", dir(table).resolve("data").toString)
         .parquet(files.map(f => dir(table).resolve(f).toString): _*),
@@ -1959,6 +2189,26 @@ object IcebergishTable {
       val files = manifestFilesStrict(table, snapshot, json)
       if (files.length == sizes.length) Some(files.zip(sizes)) else None
     }
+
+  private def seqsFromJson(json: String, table: String,
+                           snapshot: Int): Option[Seq[(String, Long)]] =
+    """"seqs":\[([0-9,\s]*)\]""".r.findFirstMatchIn(json).flatMap { g =>
+      val seqs = g.group(1).split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      val files = manifestFilesStrict(table, snapshot, json)
+      if (files.length == seqs.length) Some(files.zip(seqs)) else None
+    }
+
+  /** (file → data sequence number) of a snapshot: the snapshot id that
+    * added each file. Files from pre-seq manifests map to 0.
+    */
+  def snapshotFileSeqs(table: String, snapshot: Int): Map[String, Long] = {
+    val m = dir(table).resolve(s"snap-$snapshot.json")
+    if (!Files.exists(m)) return Map.empty
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    seqsFromJson(json, table, snapshot).map(_.toMap).getOrElse(
+      manifestFilesStrict(table, snapshot, json).map(_ -> 0L).toMap)
+  }
 
   /** Relative data-file list of a snapshot manifest, distinguishing a
     * MISSING/expired manifest (None — callers usually fail loudly) from a

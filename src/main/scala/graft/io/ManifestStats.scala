@@ -48,8 +48,8 @@ object ManifestStats {
     */
   private def eligibleName(n: String): Boolean =
     n.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") &&
-      !Set("schema", "files", "sizes", "colstats", "deletes", "epochs",
-        "partitions", "snapshot", "rows", "maxfid",
+      !Set("schema", "files", "sizes", "seqs", "colstats", "deletes",
+        "delseqs", "epochs", "partitions", "snapshot", "rows", "maxfid",
         "bucket_key", "buckets", "bucket_fn").contains(n)
 
   private def esc(s: String): String =

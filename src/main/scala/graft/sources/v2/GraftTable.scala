@@ -172,10 +172,22 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
   private var dataFilters: Array[Filter] = Array.empty
   private var prunedBuckets: Option[Set[Int]] = None
 
+  /** Key columns of the snapshot's EQUALITY delete files: they must ride
+    * every scan's read schema (the eq filter extracts them from each row)
+    * even when the query's projection pruned them.
+    */
+  private lazy val eqKeyCols: Set[String] = {
+    val snap = snapshot.getOrElse(IcebergishTable.currentSnapshot(path))
+    IcebergishTable.snapshotDeleteFiles(path, snap)
+      .filter(IcebergishTable.isEqDeleteFile)
+      .flatMap(f => IcebergishTable.readEqDeleteFile(path, f, lenient = true))
+      .flatMap(_._1).toSet
+  }
+
   override def pruneColumns(required: StructType): Unit = {
     // Preserve table column order (parquet factory appends partition cols
     // last); `required` may arrive in arbitrary order.
-    val names = required.fieldNames.toSet
+    val names = required.fieldNames.toSet ++ eqKeyCols
     requiredSchema = StructType(tableSchema.filter(f => names.contains(f.name)))
   }
 
@@ -224,16 +236,27 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
 /** A bucket's worth of files, keyed for storage-partitioned joins.
   * `deletes` (aligned with `files`; empty array = none) carries each
   * file's merge-on-read position-delete ordinals, sorted ascending — the
-  * reader factory skips exactly those rows.
+  * reader factory skips exactly those rows. `seqs` (aligned) carries each
+  * file's data sequence number, which scopes equality deletes.
   */
 final case class GraftBucketPartition(bucket: Int,
                                       files: Array[PartitionedFile],
-                                      deletes: Array[Array[Long]] = Array.empty)
+                                      deletes: Array[Array[Long]] = Array.empty,
+                                      seqs: Array[Long] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
   def hasDeletes: Boolean = deletes.exists(_.nonEmpty)
+  def seqOf(idx: Int): Long = if (idx < seqs.length) seqs(idx) else 0L
 }
+
+/** One equality-delete key-column group shipped to readers: raw TSV cells
+  * (typed executor-side against the read schema) plus each entry's delete
+  * sequence — a row is dropped when its key tuple matches an entry whose
+  * seq is GREATER than the row's file seq.
+  */
+final case class GraftEqGroup(keyCols: Seq[String],
+                              entries: Array[(Array[String], Long)])
 
 final class GraftScan(path: String, dataSchema: StructType,
                       requiredSchema: StructType,
@@ -268,9 +291,34 @@ final class GraftScan(path: String, dataSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
+  /** The snapshot this scan reads — resolved ONCE so partition planning,
+    * delete metadata, and the reader factory agree even if the table
+    * advances mid-planning.
+    */
+  private lazy val resolvedSnap: Int =
+    snapshot.getOrElse(IcebergishTable.currentSnapshot(path))
+
+  /** Equality-delete groups of the snapshot (raw cells; executor types
+    * them against the read schema).
+    */
+  private lazy val eqGroups: Seq[GraftEqGroup] = {
+    val delseqs = IcebergishTable.snapshotDeleteSeqs(path, resolvedSnap)
+    IcebergishTable.snapshotDeleteFiles(path, resolvedSnap)
+      .filter(IcebergishTable.isEqDeleteFile)
+      .flatMap { f =>
+        IcebergishTable.readEqDeleteFile(path, f).map { case (cols, rows) =>
+          (cols, rows.map(r => (r, delseqs.getOrElse(f, 0L))))
+        }
+      }
+      .groupBy(_._1)
+      .map { case (cols, group) =>
+        GraftEqGroup(cols, group.flatMap(_._2).toArray)
+      }.toSeq
+  }
+
   private def planPartitions(): Array[InputPartition] = {
     val root = java.nio.file.Paths.get(path)
-    val snap = snapshot.getOrElse(IcebergishTable.currentSnapshot(path))
+    val snap = resolvedSnap
     // METADATA-ONLY planning: the manifest records every live file WITH its
     // size, so planning makes zero filesystem calls — at 10^5 buckets the
     // old walk (one listing + one stat per file, driver-side) was the plan
@@ -296,13 +344,18 @@ final class GraftScan(path: String, dataSchema: StructType,
               path, snap, dataSchema, statPreds, all)
           }
         // MERGE-ON-READ: position-delete ordinals per data file, merged
-        // across the snapshot's delete files at plan time (delete sets are
-        // driver-small by the MOR write path's own threshold).
+        // across the snapshot's POSITION delete files at plan time (delete
+        // sets are driver-small by the MOR write path's own threshold);
+        // equality deletes ride separately (eqGroups + per-file seqs).
         val delByFile: Map[String, Array[Long]] =
           IcebergishTable.snapshotDeleteFiles(path, snap)
+            .filterNot(IcebergishTable.isEqDeleteFile)
             .flatMap(IcebergishTable.readDeleteFile(path, _))
             .groupBy(_._1)
             .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
+        val fileSeqs: Map[String, Long] =
+          if (eqGroups.isEmpty) Map.empty
+          else IcebergishTable.snapshotFileSeqs(path, snap)
         withSizes
           .filterNot { case (rel, _) => skipped.contains(rel) }
           .map { case (rel, size) =>
@@ -322,6 +375,9 @@ final class GraftScan(path: String, dataSchema: StructType,
               }.toArray,
               sorted.map { case (_, rel, _) =>
                 delByFile.getOrElse(rel, Array.empty[Long])
+              }.toArray,
+              sorted.map { case (_, rel, _) =>
+                fileSeqs.getOrElse(rel, 0L)
               }.toArray): InputPartition
           }
           .toArray
@@ -408,7 +464,9 @@ final class GraftScan(path: String, dataSchema: StructType,
     // UNFILTERED factory (row-group pruning would shift row ordinals and
     // desynchronize the skip list; the pushed filters are residual anyway
     // — Spark re-applies them above the scan) with ordinal-skipping
-    // readers. Files without deletes keep the filtered, columnar path.
+    // readers. Files without position deletes keep the filtered path —
+    // equality deletes are value-based, so row-group pruning stays legal
+    // for them. Either delete kind forces row-based reads scan-wide.
     val needsMor = plannedPartitions.exists {
       case p: GraftBucketPartition => p.hasDeletes
       case _ => false
@@ -420,7 +478,8 @@ final class GraftScan(path: String, dataSchema: StructType,
         CaseInsensitiveStringMap.empty()).createReaderFactory()
         .asInstanceOf[ParquetPartitionReaderFactory])
     GraftReaderFactory(inner.createReaderFactory()
-      .asInstanceOf[ParquetPartitionReaderFactory], unfiltered)
+      .asInstanceOf[ParquetPartitionReaderFactory], unfiltered,
+      eqGroups, readSchema())
   }
 
   override def description(): String =
@@ -649,7 +708,9 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
   * required — plan-time invariant).
   */
 final case class GraftReaderFactory(inner: ParquetPartitionReaderFactory,
-                                    unfiltered: Option[ParquetPartitionReaderFactory] = None)
+                                    unfiltered: Option[ParquetPartitionReaderFactory] = None,
+                                    eqGroups: Seq[GraftEqGroup] = Seq.empty,
+                                    rowSchema: StructType = new StructType())
     extends PartitionReaderFactory {
 
   private def asFilePartition(p: InputPartition): FilePartition = p match {
@@ -659,10 +720,16 @@ final case class GraftReaderFactory(inner: ParquetPartitionReaderFactory,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case g: GraftBucketPartition if g.hasDeletes =>
-        new GraftMorReader(g, inner, unfiltered.getOrElse(
-          throw new IllegalStateException(
-            "MOR partition planned without an unfiltered reader factory")))
+      case g: GraftBucketPartition if g.hasDeletes || eqGroups.nonEmpty =>
+        new GraftMorReader(g,
+          inner,
+          // The unfiltered factory is only REQUIRED for ordinal skipping;
+          // equality-only scans never consult it.
+          if (g.hasDeletes) unfiltered.getOrElse(
+            throw new IllegalStateException(
+              "MOR partition planned without an unfiltered reader factory"))
+          else inner,
+          eqGroups, rowSchema)
       case _ => inner.createReader(asFilePartition(p))
     }
 
@@ -670,30 +737,102 @@ final case class GraftReaderFactory(inner: ParquetPartitionReaderFactory,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     inner.createColumnarReader(asFilePartition(p))
 
-  // Ordinal skipping needs the row-by-row path, and Spark requires ONE
+  // Row-level filtering needs the row-by-row path, and Spark requires ONE
   // input mode per scan ("Cannot mix row-based and columnar") — so a scan
   // over any delete-carrying snapshot reads all partitions row-based
   // (costs vectorization only while tombstones exist; compact restores it).
   override def supportColumnarReads(p: InputPartition): Boolean =
-    unfiltered.isEmpty && inner.supportColumnarReads(asFilePartition(p))
+    unfiltered.isEmpty && eqGroups.isEmpty &&
+      inner.supportColumnarReads(asFilePartition(p))
 }
 
-/** Row reader applying merge-on-read position deletes: files are read one
-  * at a time; a file with delete ordinals uses the UNFILTERED factory (no
-  * row-group pruning → the sequential row count IS `_metadata.row_index`)
-  * and skips exactly the listed ordinals; files without deletes use the
-  * normal filtered factory.
+/** Row reader applying merge-on-read deletes: files are read one at a
+  * time. POSITION deletes: a file with delete ordinals uses the
+  * UNFILTERED factory (no row-group pruning → the sequential row count IS
+  * `_metadata.row_index`) and skips exactly the listed ordinals; files
+  * without them use the normal filtered factory (row-group pruning stays
+  * legal — equality filtering is value-based). EQUALITY deletes: per
+  * file, the entries whose delete sequence EXCEEDS the file's data
+  * sequence form a key-tuple hash set; matching rows are dropped.
   */
 final class GraftMorReader(part: GraftBucketPartition,
                            filtered: ParquetPartitionReaderFactory,
-                           unfiltered: ParquetPartitionReaderFactory)
+                           unfiltered: ParquetPartitionReaderFactory,
+                           eqGroups: Seq[GraftEqGroup] = Seq.empty,
+                           rowSchema: StructType = new StructType())
     extends PartitionReader[InternalRow] {
+
+  import org.apache.spark.sql.types._
+
+  /** Per group: key ordinals in the read row, key types, and typed
+    * entries (string → String, integrals normalized to java.lang.Long)
+    * with their delete sequences. Typed ONCE per reader.
+    */
+  private val typedGroups: Seq[(Array[Int], Array[DataType], Array[(Seq[Any], Long)])] =
+    eqGroups.map { g =>
+      val ords = g.keyCols.map(rowSchema.fieldIndex).toArray
+      val types = ords.map(rowSchema(_).dataType)
+      val entries = g.entries.map { case (cells, sq) =>
+        (cells.toSeq.zip(types.toSeq).map[Any] { case (cell, dt) => dt match {
+          case StringType => unescTsvCell(cell)
+          case LongType | IntegerType | ShortType | ByteType =>
+            java.lang.Long.valueOf(cell.toLong)
+          case other => throw new IllegalStateException(
+            s"unsupported equality-delete key type $other")
+        }}, sq)
+      }
+      (ords, types, entries)
+    }
+
+  private def unescTsvCell(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b.append('\t'); case 'n' => b.append('\n')
+          case 'r' => b.append('\r'); case o => b.append(o)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
 
   private var idx = -1
   private var cur: PartitionReader[InternalRow] = _
   private var curDel: Array[Long] = Array.empty
   private var delPtr = 0
   private var pos = -1L
+  // Applicable equality sets for the CURRENT file (delseq > fileSeq).
+  private var curEq: Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =
+    Seq.empty
+
+  private def eqDropped(row: InternalRow): Boolean = {
+    var i = 0
+    while (i < curEq.length) {
+      val (ords, types, set) = curEq(i)
+      var j = 0
+      var nullKey = false
+      val key = new Array[Any](ords.length)
+      while (j < ords.length && !nullKey) {
+        if (row.isNullAt(ords(j))) nullKey = true // null never equals
+        else key(j) = types(j) match {
+          case StringType => row.getUTF8String(ords(j)).toString
+          case LongType => java.lang.Long.valueOf(row.getLong(ords(j)))
+          case IntegerType => java.lang.Long.valueOf(row.getInt(ords(j)).toLong)
+          case ShortType => java.lang.Long.valueOf(row.getShort(ords(j)).toLong)
+          case ByteType => java.lang.Long.valueOf(row.getByte(ords(j)).toLong)
+          case other => throw new IllegalStateException(other.toString)
+        }
+        j += 1
+      }
+      if (!nullKey && set.contains(key.toSeq)) return true
+      i += 1
+    }
+    false
+  }
 
   override def next(): Boolean = {
     while (true) {
@@ -704,13 +843,26 @@ final class GraftMorReader(part: GraftBucketPartition,
           else Array.empty[Long]
         delPtr = 0
         pos = -1L
+        val fileSeq = part.seqOf(idx)
+        curEq = typedGroups.flatMap { case (ords, types, entries) =>
+          val applicable = entries.filter(_._2 > fileSeq)
+          if (applicable.isEmpty) None
+          else {
+            val set = new java.util.HashSet[Seq[Any]](applicable.length * 2)
+            applicable.foreach(e => set.add(e._1))
+            Some((ords, types, set))
+          }
+        }
         val fac = if (curDel.isEmpty) filtered else unfiltered
         cur = fac.createReader(FilePartition(part.bucket,
           Array(part.files(idx))))
       } else if (cur.next()) {
         pos += 1
         if (delPtr < curDel.length && curDel(delPtr) == pos) delPtr += 1
-        else return true
+        else {
+          val row = cur.get()
+          if (curEq.isEmpty || !eqDropped(row)) return true
+        }
       } else {
         cur.close()
         cur = null
