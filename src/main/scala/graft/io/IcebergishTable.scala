@@ -1049,10 +1049,13 @@ object IcebergishTable {
       out = out.join(broadcast(seqDf),
         col("__mor_f") === col("__sq_file"), "left")
         .drop("__sq_file")
-      // Group eq files by their key-column sets; one anti-join per group.
+      // Group eq files by their RESOLVED key-column sets (field-id-first,
+      // so renames since the delete cannot detach it); one anti-join per
+      // group.
       val parsed = eqFiles.flatMap { f =>
-        readEqDeleteFile(table, f, lenient).map { case (cols, rows) =>
-          (cols, rows, delseqs.getOrElse(f, 0L))
+        readEqDeleteFile(table, f, lenient).map { case (cols, ids, rows) =>
+          (resolveEqCols(table, schema, cols, ids), rows,
+            delseqs.getOrElse(f, 0L))
         }
       }
       parsed.groupBy(_._1).foreach { case (cols, group) =>
@@ -1111,12 +1114,15 @@ object IcebergishTable {
     }
   }
 
-  /** Parse one equality-delete file: header `#eq\t<col1>,<col2>` then one
-    * TSV row of escaped key values per line.
+  /** Parse one equality-delete file: header
+    * `#eq\t<col1>,<col2>\t<fid1>,<fid2>` (field ids empty for id-less
+    * tables) then one TSV row of escaped key values per line. Key columns
+    * resolve against the CURRENT schema by field id first (rename-safe),
+    * name second — see [[resolveEqCols]].
     */
   private[graft] def readEqDeleteFile(table: String, rel: String,
                                       lenient: Boolean = false)
-      : Option[(Seq[String], Seq[Array[String]])] = {
+      : Option[(Seq[String], Seq[Option[Long]], Seq[Array[String]])] = {
     val p = dir(table).resolve(rel)
     if (!Files.exists(p)) {
       if (lenient) return None
@@ -1130,9 +1136,35 @@ object IcebergishTable {
       throw new graft.ManifestCorrupted(table, currentSnapshot(table),
         s"equality-delete file $rel has no #eq header")
     }
-    val cols = lines.head.stripPrefix("#eq\t").split(",").toSeq
-    Some((cols, lines.tail.map(_.split("\t", -1))))
+    val header = lines.head.stripPrefix("#eq\t").split("\t", -1)
+    val cols = header(0).split(",").toSeq
+    val ids: Seq[Option[Long]] =
+      if (header.length > 1 && header(1).nonEmpty)
+        header(1).split(",", -1).toSeq.map(s =>
+          if (s.isEmpty) None else Some(s.toLong))
+      else cols.map(_ => None)
+    Some((cols, ids, lines.tail.map(_.split("\t", -1))))
   }
+
+  /** Resolve an equality delete's key columns against a CURRENT schema:
+    * by recorded field id first (immune to renames), by written name
+    * second. A key column that resolves to nothing (dropped without the
+    * [[dropColumn]] guard, or a pre-id table renamed) fails typed — the
+    * tombstone's semantics would silently vanish otherwise.
+    */
+  private[graft] def resolveEqCols(table: String,
+                                   schema: org.apache.spark.sql.types.StructType,
+                                   cols: Seq[String],
+                                   ids: Seq[Option[Long]]): Seq[String] =
+    cols.zip(ids).map { case (name, idOpt) =>
+      idOpt.flatMap(id => schema.fields.find(f =>
+        f.metadata.contains(FieldIdKey) &&
+          f.metadata.getLong(FieldIdKey) == id).map(_.name))
+        .orElse(schema.fieldNames.find(_ == name))
+        .getOrElse(throw new graft.InvalidConfig(
+          s"equality-delete key column '$name' (field id ${idOpt.getOrElse("none")}) " +
+            s"no longer resolves in $table — compact to fold the tombstone first"))
+    }
 
   /** EQUALITY DELETE (Iceberg v2 equality-delete files): delete every row
     * whose `keyCols` tuple appears in `keys` — WITHOUT reading any data.
@@ -1184,8 +1216,16 @@ object IcebergishTable {
         }
       }.mkString("\t")
     }.sorted
+    // Field ids ride the header so the tombstone survives key-column
+    // renames (resolution is id-first at apply time).
+    val ids = keyCols.map { c =>
+      val f = schema(c)
+      if (f.metadata.contains(FieldIdKey))
+        f.metadata.getLong(FieldIdKey).toString
+      else ""
+    }
     Files.write(p,
-      (s"#eq\t${keyCols.mkString(",")}" +: body)
+      (s"#eq\t${keyCols.mkString(",")}\t${ids.mkString(",")}" +: body)
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     try {
       commit(table, schemaJson,
@@ -1581,6 +1621,19 @@ object IcebergishTable {
       throw new graft.InvalidConfig(
         s"cannot drop bucket key '$name' of $table — the layout depends on it")
     requireFieldIds(table, cur, "DROP COLUMN")
+    // A live equality tombstone keyed on this column would silently stop
+    // applying (its rows would resurrect) — fold it into data first.
+    val referencedByEq = snapshotDeleteFiles(table, base)
+      .filter(isEqDeleteFile)
+      .flatMap(f => readEqDeleteFile(table, f, lenient = true))
+      .exists { case (cols, ids, _) =>
+        scala.util.Try(resolveEqCols(table, cur, cols, ids)).toOption
+          .exists(_.contains(name))
+      }
+    if (referencedByEq)
+      throw new graft.InvalidConfig(
+        s"column '$name' is a key of a live equality-delete tombstone in " +
+          s"$table — compact to fold the tombstone, then drop")
     val evolved = StructType(cur.fields.filterNot(_.name == name))
     val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
       .getOrElse(snapshotFiles(table, base).map(bucketOfPath).distinct.sorted)

@@ -181,7 +181,9 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
     IcebergishTable.snapshotDeleteFiles(path, snap)
       .filter(IcebergishTable.isEqDeleteFile)
       .flatMap(f => IcebergishTable.readEqDeleteFile(path, f, lenient = true))
-      .flatMap(_._1).toSet
+      .flatMap { case (cols, ids, _) =>
+        IcebergishTable.resolveEqCols(path, tableSchema, cols, ids)
+      }.toSet
   }
 
   override def pruneColumns(required: StructType): Unit = {
@@ -303,11 +305,16 @@ final class GraftScan(path: String, dataSchema: StructType,
     */
   private lazy val eqGroups: Seq[GraftEqGroup] = {
     val delseqs = IcebergishTable.snapshotDeleteSeqs(path, resolvedSnap)
+    val schema = StructType(dataSchema.fields ++
+      Seq(StructField(IcebergishTable.PartCol, IntegerType, nullable = false)))
     IcebergishTable.snapshotDeleteFiles(path, resolvedSnap)
       .filter(IcebergishTable.isEqDeleteFile)
       .flatMap { f =>
-        IcebergishTable.readEqDeleteFile(path, f).map { case (cols, rows) =>
-          (cols, rows.map(r => (r, delseqs.getOrElse(f, 0L))))
+        IcebergishTable.readEqDeleteFile(path, f).map { case (cols, ids, rows) =>
+          // Resolve by field id first: the tombstone survives key-column
+          // renames since it was written.
+          (IcebergishTable.resolveEqCols(path, schema, cols, ids),
+            rows.map(r => (r, delseqs.getOrElse(f, 0L))))
         }
       }
       .groupBy(_._1)

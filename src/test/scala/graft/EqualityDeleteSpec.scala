@@ -129,6 +129,46 @@ class EqualityDeleteSpec extends SparkSpec {
     }
   }
 
+  test("equality tombstones survive a key-column RENAME; drop of a live key rejects") {
+    import spark.implicits._
+    val t = seed("graft-eq-ren")
+    IcebergishTable.deleteEquality(spark, t, Seq("k4", "k8").toDF("k"), Seq("k"))
+    assert(IcebergishTable.read(spark, t).count() == 98)
+    // Rename the KEY column: the tombstone's header field ids keep it
+    // attached — reads still exclude the deleted keys under the new name.
+    IcebergishTable.renameColumn(t, "k", "id")
+    assert(IcebergishTable.read(spark, t).count() == 98)
+    assert(IcebergishTable.read(spark, t)
+      .where(col("id").isin("k4", "k8")).count() == 0)
+    // DSv2 path too (forced key columns resolve by id as well).
+    val warehouse = java.nio.file.Paths.get(t).getParent.toString
+    spark.conf.set("spark.sql.catalog.graft_er",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_er.warehouse", warehouse)
+    try {
+      assert(spark.table("graft_er.t").select("v").count() == 98)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_er")
+      spark.conf.unset("spark.sql.catalog.graft_er.warehouse")
+    }
+    // Dropping a NON-bucket column that keys a LIVE tombstone rejects
+    // typed (the bucket-key rule would mask this on `id`): the tombstone
+    // would silently stop applying — rows resurrect.
+    val t2 = java.nio.file.Files.createTempDirectory("graft-eq-drop")
+      .resolve("t").toString
+    IcebergishTable.write(
+      (0 until 20).map(i => (s"k$i", s"tag${i % 4}")).toDF("k", "tag"),
+      t2, "k", 2)
+    IcebergishTable.deleteEquality(spark, t2, Seq("tag1").toDF("tag"), Seq("tag"))
+    assert(IcebergishTable.read(spark, t2).count() == 15)
+    intercept[InvalidConfig] { IcebergishTable.dropColumn(t2, "tag") }
+    // Compact folds the tombstone; the drop gate opens.
+    IcebergishTable.compact(spark, t2, 2, "k")
+    IcebergishTable.dropColumn(t2, "tag")
+    assert(IcebergishTable.read(spark, t2).count() == 15)
+    assert(!IcebergishTable.read(spark, t2).columns.contains("tag"))
+  }
+
   test("composite keys and integral keys; nulls never match") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft-eq-comp").resolve("t").toString
