@@ -103,14 +103,39 @@ object IcebergishTable {
     else df.select(annotated.fields.map(f =>
       col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
 
-  /** Enable parquet field-id resolution on the session when the schema
-    * being requested carries ids (no-op config for id-less schemas, but
-    * only flipped when needed to keep the session's conf surface minimal).
+  /** The session a read of `schema` should build its parquet relation on:
+    * the caller's own session for id-less schemas; a field-id-enabled
+    * CLONE for id-aware ones. Never mutates the caller's session conf —
+    * the flag would otherwise leak into unrelated parquet reads that
+    * happen to request a schema carrying `parquet.field.id` metadata
+    * (resolving them by id against id-less files). The relation captures
+    * the clone, so frames returned from here compose with the base
+    * session's plans while only the graft leaves resolve by id.
     */
-  private[graft] def enableFieldIdReads(spark: SparkSession,
-                                 schema: org.apache.spark.sql.types.StructType): Unit =
-    if (schema.fields.exists(_.metadata.contains(FieldIdKey)))
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+  private[graft] def readSession(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      ghosts: Seq[String] = Seq.empty): SparkSession = {
+    val fid = schema.fields.exists(_.metadata.contains(FieldIdKey))
+    // A current column NAME that shadows a dead physical column (DROP x or
+    // RENAME x TO … left x's bytes in old files, then the name re-entered
+    // the schema under a different field id) breaks parquet's BY-NAME
+    // row-group filter pushdown: a pushed predicate on the new x would be
+    // evaluated against the dead column's stats and prune groups whose
+    // REAL x values (id-resolved) match. Field-id READ resolution is
+    // already exact; pushdown has no id mode, so those reads run with
+    // pushdown off (Spark still applies the filters above the scan).
+    // Self-heals at compact/rebucket/overwrite — replace-all rewrites
+    // clear the ghost list.
+    val shadowed = ghosts.nonEmpty &&
+      ghosts.exists(g => schema.fieldNames.contains(g))
+    val confs =
+      (if (fid) Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
+       else Map.empty[String, String]) ++
+      (if (shadowed) Map("spark.sql.parquet.filterPushdown" -> "false")
+       else Map.empty[String, String])
+    if (confs.isEmpty) spark
+    else org.apache.spark.sql.GraftColumnBridge.scopedSession(spark, confs)
+  }
 
   /** Bucket index encoded in a table-relative data path
     * (`data/part=<k>/…`) — the ONE parser shared by batch scan planning
@@ -266,11 +291,13 @@ object IcebergishTable {
                      replaceAll: Boolean = false,
                      expectedParent: Option[Int] = None,
                      schemaEvolution: Boolean = false,
-                     addedDeletes: Seq[String] = Seq.empty): Int =
+                     addedDeletes: Seq[String] = Seq.empty,
+                     statsRekey: Map[String, Option[String]] = Map.empty,
+                     addedGhosts: Seq[String] = Seq.empty): Int =
     commitLocks.computeIfAbsent(table, _ => new Object).synchronized {
       commitLocked(table, schemaJson, parts, rows, bucketKey,
         epochUpdate, added, dropParent, replaceAll, expectedParent,
-        schemaEvolution, addedDeletes)
+        schemaEvolution, addedDeletes, statsRekey, addedGhosts)
     }
 
   /** Append-type commits resolve their schema against the parent's: a
@@ -306,7 +333,10 @@ object IcebergishTable {
                            replaceAll: Boolean,
                            expectedParent: Option[Int],
                            schemaEvolution: Boolean = false,
-                           addedDeletes: Seq[String] = Seq.empty): Int = {
+                           addedDeletes: Seq[String] = Seq.empty,
+                           statsRekey: Map[String, Option[String]] = Map.empty,
+                           addedGhosts: Seq[String] = Seq.empty)
+      : Int = {
     val d = dir(table)
     Files.createDirectories(d)
     // bucket_key/buckets record the partition spec (hash-bucket transform):
@@ -406,8 +436,15 @@ object IcebergishTable {
             parentFiles.zip(entries).toMap
         }
       }.getOrElse(Map.empty)
+      // Rename/drop commits RE-KEY the carried-forward entries: stats
+      // follow the field's identity (id), not its write-time name. Without
+      // this, after DROP x; RENAME y TO x, old files' stale x-entries would
+      // be consulted for predicates on the NEW x (whose values resolve from
+      // y via field ids) and could skip files that match — silently wrong
+      // scans. Iceberg keys bounds by field id for exactly this reason.
       val colstats = fileList.map(f =>
-        addedStats.getOrElse(f, prevStats.getOrElse(f, "{}")))
+        addedStats.getOrElse(f,
+          ManifestStats.rekeyEntry(prevStats.getOrElse(f, "{}"), statsRekey)))
       // Streaming epoch high-waters ride the manifest (carried forward on
       // EVERY commit): the VERSION swap is then the single atomic point
       // that commits a micro-batch's files AND records its epoch — no
@@ -437,6 +474,20 @@ object IcebergishTable {
         else deletesList.map(f => "\"" + esc(f) + "\"")
           .mkString("\"deletes\":[", ",", "],") +
           delseqs.mkString("\"delseqs\":[", ",", "],")
+      // GHOST names: column names physically present in live data files
+      // under a DIFFERENT (or dropped) field id than the current schema's
+      // binding — recorded by drop/rename commits, consulted by the read
+      // path to suppress by-name parquet filter pushdown when such a name
+      // re-enters the schema (see readSession). Replace-all commits
+      // rewrite every file under the current schema, so the list resets.
+      val ghosts: Seq[String] =
+        ((if (replaceAll) Seq.empty
+          else parentJson.map(ghostsFromJson).getOrElse(Seq.empty)) ++
+          addedGhosts).distinct.sorted
+      val ghostMeta =
+        if (ghosts.isEmpty) ""
+        else ghosts.map(g => "\"" + esc(g) + "\"")
+          .mkString("\"ghosts\":[", ",", "],")
       val epochs =
         parentJson.map(epochsFromJson).getOrElse(Map.empty) ++ epochUpdate
       val epochMeta =
@@ -465,7 +516,7 @@ object IcebergishTable {
         fieldIdsOf(structOf(effSchemaJson)).values.foldLeft(0L)(math.max))
       val fidMeta = if (maxFid > 0) s""""maxfid":$maxFid,""" else ""
       val manifest =
-        s"""{"snapshot":$target,"rows":$rows,$bucketMeta$epochMeta$fidMeta$deletesMeta"partitions":[${parts.sorted.mkString(",")}],
+        s"""{"snapshot":$target,"rows":$rows,$bucketMeta$epochMeta$fidMeta$ghostMeta$deletesMeta"partitions":[${parts.sorted.mkString(",")}],
            |"sizes":[${sizes.mkString(",")}],
            |"seqs":[${seqs.mkString(",")}],
            |"files":[${files.mkString(",")}],
@@ -924,6 +975,26 @@ object IcebergishTable {
     val m = dir(table).resolve(s"snap-$snap.json")
     if (!Files.exists(m)) return Map.empty
     epochsFromJson(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+  }
+
+  private def ghostsFromJson(json: String): Seq[String] =
+    """"ghosts":\[(.*?)\]""".r.findFirstMatchIn(json) match {
+      case None => Seq.empty
+      case Some(m) => m.group(1)
+        .split(",").filter(_.nonEmpty)
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"")
+          .replace("\\\\", "\\"))
+        .toSeq
+    }
+
+  /** Ghost names of a snapshot — see the commit-path doc. Empty for
+    * manifests predating the feature (those tables never ran drop/rename,
+    * which is what creates ghosts).
+    */
+  def snapshotGhostNames(table: String, snapshot: Int): Seq[String] = {
+    val m = dir(table).resolve(s"snap-$snapshot.json")
+    if (!Files.exists(m)) return Seq.empty
+    ghostsFromJson(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
   }
 
   private def deletesFromJson(json: String): Seq[String] =
@@ -1398,9 +1469,8 @@ object IcebergishTable {
       // otherwise — with missing ones read as null, exactly Iceberg's
       // add-column semantics.
       val schema = structOf(schemaJson)
-      enableFieldIdReads(spark, schema)
       applyDeletes(spark, table, snap,
-        spark.read
+        readSession(spark, schema, snapshotGhostNames(table, snap)).read
           .schema(schema)
           .option("basePath", dir(table).resolve("data").toString)
           .parquet(files.map(f => dir(table).resolve(f).toString): _*),
@@ -1447,9 +1517,8 @@ object IcebergishTable {
       .filter(f => Files.exists(dir(table).resolve(f)))
     if (files.nonEmpty) {
       val schema = structOf(manifestMeta(table)._1)
-      enableFieldIdReads(spark, schema)
       applyDeletes(spark, table, snap,
-        spark.read
+        readSession(spark, schema, snapshotGhostNames(table, snap)).read
           .schema(schema)
           .option("basePath", dir(table).resolve("data").toString)
           .parquet(files.map(f => dir(table).resolve(f).toString): _*),
@@ -1480,9 +1549,8 @@ object IcebergishTable {
       // schema evolution sees exactly the schema of its era (field-id
       // resolution keeps renamed columns readable under their era name).
       val schema = structOf(schemaJsonFrom(json, table, snapshot))
-      enableFieldIdReads(spark, schema)
       applyDeletes(spark, table, snapshot,
-        spark.read
+        readSession(spark, schema, ghostsFromJson(json)).read
           .schema(schema)
           .option("basePath", dir(table).resolve("data").toString)
           .parquet(paths.toIndexedSeq: _*),
@@ -1595,7 +1663,12 @@ object IcebergishTable {
     val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
       .getOrElse(snapshotFiles(table, base).map(bucketOfPath).distinct.sorted)
     commit(table, evolved.json, parts, 0L, bucketKey = evolvedSpec,
-      schemaEvolution = true, expectedParent = Some(base))
+      schemaEvolution = true, expectedParent = Some(base),
+      statsRekey = Map(from -> Some(to)),
+      // `from` stays physically present in old files under its id; if the
+      // name ever re-enters the schema (re-add or another rename), by-name
+      // pushdown on it would hit the wrong column — record the ghost.
+      addedGhosts = Seq(from))
   }
 
   /** Schema evolution: DROP a data column, metadata-only (same file list —
@@ -1638,7 +1711,12 @@ object IcebergishTable {
     val parts = spec.map { case (_, n) => 0 until n: Seq[Int] }
       .getOrElse(snapshotFiles(table, base).map(bucketOfPath).distinct.sorted)
     commit(table, evolved.json, parts, 0L, bucketKey = spec,
-      schemaEvolution = true, expectedParent = Some(base))
+      schemaEvolution = true, expectedParent = Some(base),
+      statsRekey = Map(name -> None),
+      // The dropped column's bytes stay in old files — ghost the name so
+      // a later re-use (addColumn / rename-onto) reads with by-name
+      // pushdown suppressed (see readSession).
+      addedGhosts = Seq(name))
   }
 
   /** Create an empty table: commit snapshot 0 with the given data schema
@@ -1699,10 +1777,17 @@ object IcebergishTable {
     listDataFiles(table).filterNot(keep).foreach { f =>
       Files.deleteIfExists(dir(table).resolve(f))
     }
-    // Position-delete files follow the same rule: the target manifest's
-    // deletes list IS the post-rollback state; anything newer is rolled
-    // over and reclaimed (its entries referenced rolled-back rows).
-    val keepDeletes = deletesFromJson(json).toSet
+    // Delete files: the target manifest's deletes list is the post-rollback
+    // CURRENT state, but manifests OLDER than the target can still
+    // reference delete files the target dropped — an intervening
+    // replace-all (compact/overwrite) resets the carried deletes list, yet
+    // the pre-compact snapshots survive the rollback and time travel
+    // through them must keep resolving their tombstones. Keep the union
+    // over every surviving manifest (snapshots <= target), mirroring
+    // expireSnapshots' retainedDeletes — data files already get the
+    // equivalent protection from tombstone-aware listDataFiles.
+    val keepDeletes = (0 to snapshot)
+      .flatMap(snapshotDeleteFiles(table, _)).toSet
     listDeleteFiles(table).filterNot(keepDeletes).foreach { f =>
       Files.deleteIfExists(dir(table).resolve(f))
     }
@@ -1892,9 +1977,8 @@ object IcebergishTable {
     // victim list falls straight out of the same frame.
     val predScan = {
       val schema = structOf(schemaJson)
-      enableFieldIdReads(spark, schema)
       applyDeletes(spark, table, startSnap,
-        spark.read
+        readSession(spark, schema, snapshotGhostNames(table, startSnap)).read
           .schema(schema)
           .option("basePath", dir(table).resolve("data").toString)
           .parquet(candidates.map(f => dir(table).resolve(f).toString): _*),
@@ -2037,7 +2121,6 @@ object IcebergishTable {
     }
     // Positions of matched EXISTING rows, excluding already-tombstoned
     // ones (they are logically absent — their keys re-insert, not match).
-    enableFieldIdReads(spark, schema)
     val files = snapshotFiles(table, startSnap)
       .filter(f => touched.contains(bucketOfPath(f)))
     if (files.isEmpty) {
@@ -2056,7 +2139,8 @@ object IcebergishTable {
       return true
     }
     val posScan = applyDeletes(spark, table, startSnap,
-      spark.read.schema(schema)
+      readSession(spark, schema, snapshotGhostNames(table, startSnap))
+        .read.schema(schema)
         .option("basePath", dir(table).resolve("data").toString)
         .parquet(files.map(f => dir(table).resolve(f).toString): _*),
       snapshotDeleteFiles(table, startSnap), keepPos = true)

@@ -210,6 +210,35 @@ object ManifestStats {
     if (!done) None else Some(out.result())
   }
 
+  /** column → (encodedMin, encodedMax) → one entry string (inverse of
+    * [[parseEntry]], used when a schema-evolution commit must RE-KEY
+    * carried-forward entries — see rekeyEntry).
+    */
+  def serializeEntry(m: Map[String, (String, String)]): String =
+    if (m.isEmpty) "{}"
+    else m.toSeq.sortBy(_._1).map { case (n, (mn, mx)) =>
+      s""""${esc(n)}":["${esc(mn)}","${esc(mx)}"]"""
+    }.mkString("{", ",", "}")
+
+  /** Apply a rename/drop re-keying to one carried-forward entry:
+    * `rekey(old) = Some(new)` renames the stats key, `None` strips it.
+    * Stats follow the FIELD's identity, not its name — after RENAME y TO x
+    * the old files' y-values ARE column x under id resolution, so y's
+    * bounds remain exact for x; after DROP x a stale x entry would alias
+    * any later column reusing the name (silently wrong pruning), so it
+    * must not survive the drop commit. A rename target that is not an
+    * eligible stats key strips instead of renaming.
+    */
+  def rekeyEntry(entry: String, rekey: Map[String, Option[String]]): String =
+    if (rekey.isEmpty || entry == "{}") entry
+    else serializeEntry(parseEntry(entry).flatMap { case (n, b) =>
+      rekey.get(n) match {
+        case None => Some(n -> b) // untouched column
+        case Some(Some(to)) if eligibleName(to) => Some(to -> b)
+        case _ => None // dropped, or renamed to an ineligible key
+      }
+    })
+
   /** One entry string → column → (encodedMin, encodedMax). */
   def parseEntry(entry: String): Map[String, (String, String)] =
     """"((?:[^"\\]|\\.)*)":\["((?:[^"\\]|\\.)*)","((?:[^"\\]|\\.)*)"\]""".r

@@ -79,8 +79,14 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
       // upsert): mergeRows applies one updates frame to matches and
       // inserts alike. Compared modulo implicit casts (resolution may
       // insert them asymmetrically); executed with the UPDATE shapes.
-      val updMap = assignmentMap(upd)
-      val insMap = assignmentMap(ins)
+      // Every assignment value must be computable from the SOURCE alone:
+      // the command evaluates values against the source frame, and
+      // unresolveByName erases the target-vs-source distinction — a
+      // target-side reference (`SET v = t.v`) would silently re-resolve to
+      // the source's column of the same name. Rejected typed instead.
+      val sourceAttrs = AttributeSet(source.output)
+      val updMap = assignmentMap(upd, sourceAttrs)
+      val insMap = assignmentMap(ins, sourceAttrs)
       if (updMap.map(shape) != insMap.map(shape))
         unsupported("UPDATE SET and INSERT column mappings differ — only " +
           "the canonical SET * / INSERT * upsert is supported")
@@ -128,14 +134,22 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
   }
 
   /** Assignments → (target column name → source expression re-anchored by
-    * name). Keys ordered by target name for shape comparison.
+    * name). Keys ordered by target name for shape comparison. Values must
+    * reference SOURCE attributes only (checked before the exprId-erasing
+    * unresolve — afterwards target and source names are indistinguishable).
     */
-  private def assignmentMap(assigns: Seq[Assignment]): Seq[(String, Expression)] =
+  private def assignmentMap(assigns: Seq[Assignment],
+                            sourceAttrs: AttributeSet): Seq[(String, Expression)] =
     assigns.map { a =>
       val name = a.key match {
         case k: Attribute => k.name
         case other => unsupported(s"assignment key must be a column, got $other")
       }
+      val targetRefs = a.value.references.filterNot(sourceAttrs.contains)
+      if (targetRefs.nonEmpty)
+        unsupported(s"assignment to '$name' references target column(s) " +
+          s"${targetRefs.map(_.name).mkString(", ")} — values must come " +
+          "from the USING source (the canonical SET * / INSERT * upsert)")
       name -> unresolveByName(a.value)
     }.sortBy(_._1)
 

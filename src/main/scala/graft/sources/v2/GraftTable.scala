@@ -172,12 +172,21 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
   private var dataFilters: Array[Filter] = Array.empty
   private var prunedBuckets: Option[Set[Int]] = None
 
+  /** The snapshot this builder's scan will read — resolved ONCE, here, and
+    * passed pinned into [[GraftScan]]: eq-delete key discovery (below) and
+    * the scan's own planning must see the SAME snapshot, or an equality
+    * delete committed between pruneColumns and plan time could introduce a
+    * key column missing from the read schema (executor fieldIndex throw).
+    */
+  private lazy val pinnedSnap: Int =
+    snapshot.getOrElse(IcebergishTable.currentSnapshot(path))
+
   /** Key columns of the snapshot's EQUALITY delete files: they must ride
     * every scan's read schema (the eq filter extracts them from each row)
     * even when the query's projection pruned them.
     */
   private lazy val eqKeyCols: Set[String] = {
-    val snap = snapshot.getOrElse(IcebergishTable.currentSnapshot(path))
+    val snap = pinnedSnap
     IcebergishTable.snapshotDeleteFiles(path, snap)
       .filter(IcebergishTable.isEqDeleteFile)
       .flatMap(f => IcebergishTable.readEqDeleteFile(path, f, lenient = true))
@@ -229,10 +238,15 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = dataFilters
 
+  // The scan gets the BUILDER's pinned snapshot (never re-resolves): eq
+  // metadata captured at pruneColumns time and file planning then agree.
+  // A not-yet-committed table (pinnedSnap -1) stays unpinned — the scan
+  // resolves current state exactly as before.
   override def build(): Scan =
     new GraftScan(path, dataSchema, requiredSchema, bucketSpec,
-      prunedBuckets, dataFilters, snapshot, maxFilesPerTrigger,
-      maxSnapshotsPerTrigger)
+      prunedBuckets, dataFilters,
+      if (pinnedSnap >= 0) Some(pinnedSnap) else snapshot,
+      maxFilesPerTrigger, maxSnapshotsPerTrigger)
 }
 
 /** A bucket's worth of files, keyed for storage-partitioned joins.
@@ -459,9 +473,13 @@ final class GraftScan(path: String, dataSchema: StructType,
     // JSON, rebase modes, …) that the factory's readers expect. The file
     // index is empty on purpose — planning stays ours (bucket-grouped
     // partitions above); only the per-file reading machinery is borrowed.
-    val session = SparkSession.active
-    // Rename-safe reads: id-aware schemas resolve file columns by field id.
-    IcebergishTable.enableFieldIdReads(session, readDataSchema)
+    // Rename-safe reads: id-aware schemas resolve file columns by field id
+    // — via a field-id-enabled session CLONE, never by mutating the
+    // caller's session conf (the ParquetScan below captures the clone).
+    // Ghost names (drop/rename name reuse) additionally suppress by-name
+    // parquet filter pushdown on the clone — see readSession's doc.
+    val session = IcebergishTable.readSession(SparkSession.active,
+      readDataSchema, IcebergishTable.snapshotGhostNames(path, resolvedSnap))
     val hadoopConf = session.sessionState.newHadoopConf()
     val fileIndex = new InMemoryFileIndex(session, Seq.empty, Map.empty, None)
     val inner = ParquetScan(session, hadoopConf, fileIndex, dataSchema,
@@ -697,8 +715,9 @@ final class GraftMicroBatchStream(path: String, dataSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val session = SparkSession.active
-    IcebergishTable.enableFieldIdReads(session, readDataSchema)
+    val session = IcebergishTable.readSession(SparkSession.active,
+      readDataSchema, IcebergishTable.snapshotGhostNames(path,
+        IcebergishTable.currentSnapshot(path)))
     val hadoopConf = session.sessionState.newHadoopConf()
     val fileIndex = new InMemoryFileIndex(session, Seq.empty, Map.empty, None)
     val inner = ParquetScan(session, hadoopConf, fileIndex, dataSchema,
