@@ -120,6 +120,33 @@ class PlanSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_window_topk has no single-task window: local phase partitions by (lang, partition)") {
+    val df = SparkEntry.queries("q_window_topk")(spark, sfDir)
+    val plan = planOf(df)
+    // Two Window operators: a balanced local top-k, then the tiny global one.
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.size == 2, s"expected 2 Window ops, got ${windows.size}:\n$plan")
+    // The innermost (local) window must partition by the synthetic partition
+    // id as well as lang — that is the no-single-task guarantee: the first
+    // exchange hashes on (lang, __p), so no task ever holds a whole language.
+    val local = windows.last // executedPlan prints outermost first
+    assert(local.contains("__p"),
+      "local window not partitioned by (lang, __p) — single-task at scale:\n" + plan)
+    assert(plan.linesIterator.exists(l =>
+        l.contains("hashpartitioning(lang#") && l.contains("__p#")),
+      "first exchange does not hash on (lang, __p):\n" + plan)
+  }
+
+  test("dedup_exact shuffles fixed-width fingerprints, never the text column") {
+    val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("xxhash64"), plan)
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toList
+    assert(exchanges.nonEmpty, plan)
+    assert(!exchanges.exists(_.contains("text#")),
+      "exchange carries raw text as the shuffle key:\n" + plan)
+  }
+
   test("bucketed table write produces one file set per bucket (no small-file explosion)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-files").toString
