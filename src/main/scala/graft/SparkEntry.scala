@@ -248,6 +248,15 @@ object SparkEntry {
       ops.Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_groups" -> ((s, dir) => {
+      // Pair → group resolution: near-dup pairs (the oracled jaccard set)
+      // → connected components → (doc_id, group_id, keep) with the min-id
+      // survivor policy, for EVERY document (singletons survive).
+      val d = t(s, dir, "documents")
+      ops.Dedup.resolveGroups(
+        ops.Dedup.ngramJaccardPairs(d, "doc_id", "text").select(col("ia"), col("ib")),
+        d, "doc_id")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       ops.Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_embed_cosine" -> ((s, dir) =>
@@ -284,6 +293,20 @@ object SparkEntry {
         .createTempDirectory("graft-annfp").toString + "/index"
       ops.Ann.writeLshIndex(t(s, dir, "embeddings"), "vec_id", "embedding", path)
       ops.Ann.lshTopKIndexed(s, path, queryId = 0L, k = 10, fullProbe = true)
+    }),
+    "ann_knn_join" -> ((s, dir) => {
+      // BATCH k-NN join (the bulk-parallel pipeline shape): top-5 for a
+      // whole query SET in one job — probe fan-out, one bucket equi-join,
+      // per-query windowed top-k; no driver loop. Run full-probe so the
+      // result is provably per-query brute force and the DuckDB oracle
+      // checks the entire batch path end-to-end; the approximate multiprobe
+      // keeps its recall spec (OpsSpec).
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-knnj").toString + "/index"
+      ops.Ann.writeLshIndex(emb, "vec_id", "embedding", path)
+      ops.Ann.knnJoin(emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        path, k = 5, fullProbe = true)
     }),
     "embed_lsh_pairs" -> ((s, dir) =>
       ops.Ann.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -886,6 +909,25 @@ object SparkEntry {
         "round(sum(value), 2) AS total_value FROM s GROUP BY user_id, sid"),
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_groups" ->
+      // Same jaccard pair set, then a recursive-CTE min-reachable-id per
+      // node (= connected-component representative); docs in no pair are
+      // their own group; keep = is the group minimum.
+      ("WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "FOR i IN range(1, len(w) - 1)]) sh FROM d), " +
+        "p AS (SELECT a.doc_id ia, b.doc_id ib FROM s a, s b " +
+        "WHERE a.doc_id < b.doc_id AND " +
+        "round(len(list_intersect(a.sh, b.sh))::DOUBLE / " +
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5), " +
+        "sym AS (SELECT ia a, ib b FROM p UNION SELECT ib, ia FROM p), " +
+        "nodes AS (SELECT DISTINCT a AS id FROM sym), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id), " +
+        "comp AS (SELECT id, min(r) AS g FROM reach GROUP BY id) " +
+        "SELECT doc.doc_id, coalesce(comp.g, doc.doc_id) AS group_id, " +
+        "doc.doc_id = coalesce(comp.g, doc.doc_id) AS keep " +
+        "FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.id"),
     "dedup_embed_cosine" ->
       ("SELECT a.vec_id AS ia, b.vec_id AS ib, " +
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine " +
@@ -908,6 +950,16 @@ object SparkEntry {
         "FROM embeddings a, embeddings b " +
         "WHERE a.vec_id = 0 AND b.vec_id <> 0 " +
         "ORDER BY cosine DESC, b.vec_id ASC LIMIT 10"),
+    "ann_knn_join" ->
+      // Batch full-probe ≡ per-query brute-force top-k over the query set.
+      ("SELECT query_id, vec_id, cosine, rank FROM (" +
+        "SELECT a.vec_id AS query_id, b.vec_id AS vec_id, " +
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine, " +
+        "row_number() OVER (PARTITION BY a.vec_id " +
+        "ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) DESC, b.vec_id ASC) AS rank " +
+        "FROM embeddings a, embeddings b " +
+        "WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id" +
+        ") WHERE rank <= 5"),
     "text_tokens" ->
       ("SELECT doc_id, length(text) AS n_chars, " +
         "length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens, " +

@@ -187,6 +187,69 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch k-NN join: top-k neighbors for EVERY query in a set, probed
+    * against a [[writeLshIndex]] index — the bulk-parallel shape a training
+    * pipeline actually runs ("for each of 10^9 queries, its top-k"), with
+    * no per-query driver loop (cf. the reference's bulk parallel pull,
+    * sharding.rs:64-308, vs its single-cursor fallback).
+    *
+    * Plan shape: queries fan out to their 1-bit multiprobe neighborhood
+    * (nBits+1 probe rows each, a narrow map), then ONE equi-join on
+    * `bucket` against the index — AQE broadcasts the probe side when the
+    * query set is small, shuffles both sides on `bucket` when it is not —
+    * then exact cosine and a per-query top-k. The top-k window partitions
+    * by query id (high cardinality, no single-task partition) and Spark's
+    * WindowGroupLimit keeps the partial top-k map-side. At scale, raise
+    * `nBits` so 2^nBits buckets ≫ cores: the bucket join's parallelism is
+    * bounded by the number of distinct buckets.
+    *
+    * `fullProbe = true` probes every bucket — provably ≡ per-query brute
+    * force (the IVF full-probe trick), which is what drags the whole batch
+    * path under the DuckDB oracle; the approximate multiprobe keeps a
+    * recall spec. Returns (query_id, vec_id, cosine, rank).
+    */
+  def knnJoin(queries: DataFrame, idCol: String, vecCol: String,
+              indexPath: String, k: Int, nBits: Int = 10, seed: Long = 4242L,
+              fullProbe: Boolean = false,
+              excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = normalized(queries, idCol, vecCol).as[(Long, Seq[Double])]
+    val first = q.take(1)
+    if (first.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "vec_id", "cosine", "rank")
+    val dim = first(0)._2.length
+    val nb = nBits
+    val sd = seed
+    val fp = fullProbe
+    // Probe rows: (query_id, qv, bucket) — the query's own bucket plus all
+    // 1-bit neighbors (distinct by construction), or every bucket under
+    // fullProbe. Same deterministic plane family as the index build.
+    val probes = q.flatMap { case (id, vec) =>
+      val arr = vec.toArray
+      val planes = Ann.planesFor(dim, nb, sd)
+      val b = Ann.bucketOf(arr, planes)
+      val bs =
+        if (fp) Array.tabulate(1 << nb)(identity)
+        else b +: Array.tabulate(nb)(i => b ^ (1 << i))
+      bs.map(pb => (id, vec, pb))
+    }.toDF("query_id", "qv", "bucket")
+    val index = spark.read.parquet(indexPath)
+    val joined = index.join(probes, Seq("bucket"))
+    val cand = if (excludeSelf) joined.where(col("id") =!= col("query_id"))
+               else joined
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    cand
+      .withColumn("cosine", round(dot(col("v"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("vec_id"), col("cosine"),
+        col("rank"))
+  }
+
   // ---- IVF (inverted-file) ANN: centroid-pruned probe ---------------------
 
   private def nearestCell(vec: Array[Double],

@@ -103,6 +103,37 @@ object Dedup {
     materialized
   }
 
+  /** Dup-pair → dup-group resolution: the step a pipeline runs AFTER any
+    * pair producer ([[ngramJaccardPairs]], [[minhashLshPairs]],
+    * [[embeddingCosinePairs]]...) to decide what to keep. Pairs become
+    * connected components (duplicate clusters are transitive in practice:
+    * A≈B and B≈C means one cluster even when A,C weren't directly paired),
+    * each component's minimum id is its `group_id`, and `keep` marks the
+    * survivor. Docs in no pair are their own singleton group and survive.
+    *
+    * Scale: reuses [[graft.canon.ConnectedComponents]] — size-gated
+    * driver union-find below the threshold, distributed large-star/
+    * small-star above (the pair graph is tiny relative to the corpus: only
+    * docs with a near-dup appear). The final join of the corpus against
+    * the component map is AQE-broadcast when the map is small. Ids must be
+    * non-negative longs (zero-padded for CC's ordered string domain, so
+    * component minimum == numeric minimum).
+    */
+  def resolveGroups(pairs: DataFrame, docs: DataFrame,
+                    idCol: String): DataFrame = {
+    def pad(c: Column): Column = lpad(c.cast("string"), 20, "0")
+    val edges = pairs.select(pad(col(pairs.columns.head)).as("src"),
+      pad(col(pairs.columns(1))).as("dst"))
+    val comp = graft.canon.ConnectedComponents.components(edges)
+      .select(col("id").cast("long").as("__cid"),
+        col("component").cast("long").as("__gid"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp, col("doc_id") === col("__cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__gid"), col("doc_id")).as("group_id"))
+      .withColumn("keep", col("doc_id") === col("group_id"))
+  }
+
   /** MinHash + LSH near-dup pairs: signature (narrow map) → band keys →
     * bucket groupBy-join → candidate pairs → exact-jaccard verification of
     * candidates only. With numHashes=128, rowsPerBand=2 (64 bands), a pair

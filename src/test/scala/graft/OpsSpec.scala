@@ -137,6 +137,66 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall@10 on planted neighbors too low: $recall")
   }
 
+  test("resolveGroups: transitive pair chains become min-id groups; singletons survive") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Chain 1-2, 2-3 (one group via transitivity), pair 10-11, singleton 4.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ia", "ib")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("doc_id")
+    val got = graft.ops.Dedup.resolveGroups(pairs, docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (10L, 10L, true), (11L, 10L, false)))
+    // Zero-pad ordering: numeric min wins even when string order disagrees
+    // ("10" < "9" lexicographically — the padded domain must not care).
+    val p2 = Seq((9L, 10L)).toDF("ia", "ib")
+    val d2 = Seq(9L, 10L).toDF("doc_id")
+    val g2 = graft.ops.Dedup.resolveGroups(p2, d2, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(g2 == Set((9L, 9L, true), (10L, 9L, false)))
+  }
+
+  test("batch knnJoin: full-probe equals per-query brute force; multiprobe recall on planted neighbors") {
+    val spark0 = spark
+    import spark0.implicits._
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(16)(d => (Rng.nextDouble(21L, i, d.toLong) * 2 - 1).toFloat)
+    // Three query vectors, each with 5 planted near-neighbors.
+    def near(q: Array[Float], i: Long): Array[Float] =
+      q.zipWithIndex.map { case (x, d) =>
+        x + 0.08f * (Rng.nextDouble(23L, i, d.toLong) * 2 - 1).toFloat
+      }
+    val queries = (0L until 3L).map(i => (i, vec(i)))
+    val planted = queries.flatMap { case (qid, qv) =>
+      (0L until 5L).map(j => (500L + qid * 10 + j, near(qv, qid * 10 + j)))
+    }
+    val fill = (100L until 260L).map(i => (i, vec(i)))
+    val emb = (queries ++ planted ++ fill).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-knnj-spec").toString + "/index"
+    Ann.writeLshIndex(emb, "vec_id", "embedding", path, nBits = 6)
+
+    // Full probe == per-query brute force, for EVERY query in the set.
+    val full = Ann.knnJoin(emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        path, k = 5, nBits = 6, fullProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val perQuery = (0L until 3L).flatMap { qid =>
+      Ann.bruteForceTopK(emb, "vec_id", "embedding", qid, 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), i + 1) }
+    }.toSet
+    assert(full == perQuery, s"batch full-probe != per-query brute:\n$full\nvs\n$perQuery")
+
+    // Approximate multiprobe: recall vs brute on the planted neighbors.
+    val approx = Ann.knnJoin(emb.where(col("vec_id") < 3), "vec_id",
+        "embedding", path, k = 5, nBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = perQuery.map(t => (t._1, t._2))
+    val recall = approx.count(bruteIds.contains).toDouble / bruteIds.size
+    assert(recall >= 0.8, s"batch multiprobe recall too low: $recall")
+  }
+
   test("language-ID recovers planted languages") {
     assert(TextAnalysis.detectLanguage("der hund und die katze ist nicht hier")._1 == "de")
     assert(TextAnalysis.detectLanguage("the cat and the dog is not here")._1 == "en")
