@@ -79,18 +79,50 @@ object ConnectedComponents {
     * path.
     */
   def componentsSized(edges: DataFrame, maxIter: Int = 50,
-                      localThreshold: Long = 500000L): (DataFrame, Boolean) = {
+                      localThreshold: Long = 500000L,
+                      localByteBudget: Long = 256L << 20): (DataFrame, Boolean) = {
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    if (e.count() <= localThreshold) (componentsLocal(e), true)
-    else (componentsDistributed(e, maxIter), false)
+    if (e.count() <= localThreshold) {
+      // Runtime re-plan, not just the a-priori row-count gate (the
+      // reference's analog: Dump→AQL downgrade on a RUNTIME support
+      // failure, graph_loader.rs:213-238). The row count is an estimate of
+      // driver memory — adversarially long ids can blow the budget at a
+      // legal row count, so the local collect is metered mid-flight and on
+      // overflow the SAME edge set re-plans onto the distributed path.
+      try (componentsLocal(e, localByteBudget), true)
+      catch {
+        case ex: graft.LocalPlanOverBudget =>
+          System.err.println(
+            s"[graft] cc strategy fallback: local -> distributed (${ex.getMessage})")
+          (componentsDistributed(e, maxIter), false)
+      }
+    } else (componentsDistributed(e, maxIter), false)
   }
 
-  /** Driver-side union-find for small graphs (single collect). */
-  private[canon] def componentsLocal(edges: DataFrame): DataFrame = {
+  /** Driver-side union-find for small graphs. The collect is metered:
+    * partitions stream through `toLocalIterator`, and crossing
+    * `byteBudget` (id bytes actually buffered, not a row-count proxy)
+    * aborts with the typed [[graft.LocalPlanOverBudget]] BEFORE the driver
+    * heap is at risk — [[componentsSized]] catches it and re-plans.
+    */
+  private[graft] def componentsLocal(edges: DataFrame,
+                                     byteBudget: Long = Long.MaxValue): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val pairs = edges.as[(String, String)].collect()
+    val pairs = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var bytes = 0L
+      val it = edges.as[(String, String)].toLocalIterator()
+      while (it.hasNext) {
+        val p = it.next()
+        bytes += p._1.length + p._2.length
+        if (bytes > byteBudget)
+          throw new graft.LocalPlanOverBudget("cc local union-find", bytes, byteBudget)
+        buf += p
+      }
+      buf.toArray
+    }
     val parent = scala.collection.mutable.HashMap.empty[String, String]
     // Iterative find with path compression (no recursion — adversarial
     // union orders can build deep chains near the size threshold).

@@ -93,6 +93,34 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(edges, parts = 16) == base)
   }
 
+  test("runtime strategy fallback: local collect over byte budget re-plans distributed, same result") {
+    import spark.implicits._
+    val edges = (0 until 200).map { j =>
+      (f"n${Rng.nextInt(7L, j.toLong, 0, 60)}%03d",
+       f"n${Rng.nextInt(7L, j.toLong, 1, 60)}%03d")
+    }.filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst").repartition(4)
+    // Budget the local path can live within: local strategy chosen.
+    val (primary, usedLocal) = ConnectedComponents.componentsSized(df)
+    assert(usedLocal, "fixture should fit the local path")
+    // Starve the byte budget: the row-count gate still says "local", the
+    // mid-flight meter trips LocalPlanOverBudget, and the SAME call
+    // re-plans onto the distributed path — a runtime strategy downgrade,
+    // not an a-priori choice.
+    val (fallback, stillLocal) =
+      ConnectedComponents.componentsSized(df, localByteBudget = 64L)
+    assert(!stillLocal, "starved budget must force the distributed re-plan")
+    val p = primary.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val f = fallback.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(f == p, "fallback result diverged from the primary path")
+    // The typed error itself is catchable by callers that want to abort.
+    val e = intercept[graft.LocalPlanOverBudget] {
+      ConnectedComponents.componentsLocal(
+        df.where(col("src") =!= col("dst")), byteBudget = 8L)
+    }
+    assert(e.getMessage.contains("byte budget"))
+  }
+
   test("sameAs fixture canonicalizes E01xx to E00xx") {
     val got = cc(graft.synth.PageSynth.sameAsPairs)
     (0 until graft.synth.PageSynth.DupRangeLen).foreach { i =>
