@@ -83,14 +83,20 @@ object ConnectedComponents {
                       localByteBudget: Long = 256L << 20): (DataFrame, Boolean) = {
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    if (e.count() <= localThreshold) {
-      // Runtime re-plan, not just the a-priori row-count gate (the
-      // reference's analog: Dump→AQL downgrade on a RUNTIME support
-      // failure, graph_loader.rs:213-238). The row count is an estimate of
-      // driver memory — adversarially long ids can blow the budget at a
-      // legal row count, so the local collect is metered mid-flight and on
-      // overflow the SAME edge set re-plans onto the distributed path.
-      try (componentsLocal(e, localByteBudget), true)
+    // ONE gate job measures rows AND bytes (the row count alone is only an
+    // ESTIMATE of driver memory — adversarially long ids can blow the heap
+    // at a legal row count). Deliberately not a streamed per-partition
+    // meter: toLocalIterator schedules one serial job per partition
+    // (measured ~0.4 s of 5 ms jobs at 32 partitions), while this agg is
+    // one distributed pass over the same data.
+    val gate = e.agg(count(lit(1)),
+      coalesce(sum(length(col("src")) + length(col("dst"))), lit(0L))).head()
+    if (gate.getLong(0) <= localThreshold) {
+      // Runtime re-plan (the reference's analog: Dump→AQL downgrade on a
+      // RUNTIME support failure, graph_loader.rs:213-238): on a measured
+      // budget overflow the SAME edge set re-plans onto the distributed
+      // path instead of dying in the driver.
+      try (componentsLocal(e, localByteBudget, Some(gate.getLong(1))), true)
       catch {
         case ex: graft.LocalPlanOverBudget =>
           System.err.println(
@@ -100,29 +106,26 @@ object ConnectedComponents {
     } else (componentsDistributed(e, maxIter), false)
   }
 
-  /** Driver-side union-find for small graphs. The collect is metered:
-    * partitions stream through `toLocalIterator`, and crossing
-    * `byteBudget` (id bytes actually buffered, not a row-count proxy)
-    * aborts with the typed [[graft.LocalPlanOverBudget]] BEFORE the driver
-    * heap is at risk — [[componentsSized]] catches it and re-plans.
+  /** Driver-side union-find for small graphs (single collect). The collect
+    * is budget-gated: the measured id-byte volume (passed down from
+    * [[componentsSized]]'s gate job, or measured here for direct callers)
+    * crossing `byteBudget` aborts with the typed
+    * [[graft.LocalPlanOverBudget]] BEFORE the driver heap is at risk —
+    * [[componentsSized]] catches it and re-plans distributed.
     */
   private[graft] def componentsLocal(edges: DataFrame,
-                                     byteBudget: Long = Long.MaxValue): DataFrame = {
+                                     byteBudget: Long = Long.MaxValue,
+                                     knownBytes: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val pairs = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      var bytes = 0L
-      val it = edges.as[(String, String)].toLocalIterator()
-      while (it.hasNext) {
-        val p = it.next()
-        bytes += p._1.length + p._2.length
-        if (bytes > byteBudget)
-          throw new graft.LocalPlanOverBudget("cc local union-find", bytes, byteBudget)
-        buf += p
-      }
-      buf.toArray
+    if (byteBudget != Long.MaxValue) {
+      val bytes = knownBytes.getOrElse(
+        edges.agg(coalesce(sum(length(col("src")) + length(col("dst"))),
+          lit(0L))).head().getLong(0))
+      if (bytes > byteBudget)
+        throw new graft.LocalPlanOverBudget("cc local union-find", bytes, byteBudget)
     }
+    val pairs = edges.as[(String, String)].collect()
     val parent = scala.collection.mutable.HashMap.empty[String, String]
     // Iterative find with path compression (no recursion — adversarial
     // union orders can build deep chains near the size threshold).
