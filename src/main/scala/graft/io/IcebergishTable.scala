@@ -365,17 +365,23 @@ object IcebergishTable {
     // Footer reads are independent ~ms I/O — a parallel map keeps a
     // many-file commit's stats pass off the serial driver path.
     val addedStats: Map[String, String] = {
+      val tStats = System.nanoTime()
       val distinctAdded = added.distinct
-      if (distinctAdded.size <= 4)
-        distinctAdded.map(f => f -> ManifestStats.statsEntryOf(d.resolve(f))).toMap
-      else {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future.traverse(distinctAdded)(f =>
-          Future(f -> ManifestStats.statsEntryOf(d.resolve(f)))), Duration.Inf)
-          .toMap
-      }
+      val out =
+        if (distinctAdded.size <= 4)
+          distinctAdded.map(f => f -> ManifestStats.statsEntryOf(d.resolve(f))).toMap
+        else {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future.traverse(distinctAdded)(f =>
+            Future(f -> ManifestStats.statsEntryOf(d.resolve(f)))), Duration.Inf)
+            .toMap
+        }
+      if (sys.env.contains("GRAFT_TIMING"))
+        System.err.println(f"[timing]   commit/footer-stats ${
+          (System.nanoTime() - tStats) / 1e9}%.3f s (${distinctAdded.size} files)")
+      out
     }
     while (committed < 0) {
       expectedParent.foreach { exp =>
