@@ -248,6 +248,19 @@ object SparkEntry {
       ops.Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_incremental" -> ((s, dir) => {
+      // Incremental MinHash-LSH dedup: the corpus arrives as THREE
+      // batches against a persisted signature table; the union of
+      // per-batch pair emissions must equal the single-shot run — which
+      // is exactly what the brute-force jaccard oracle checks.
+      val d = t(s, dir, "documents")
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-incdedup").toString + "/sigs"
+      val parts = (0 until 3).map(i =>
+        ops.IncrementalDedup.processBatch(
+          d.where(pmod(col("doc_id"), lit(3)) === i), "doc_id", "text", state))
+      parts.reduce(_ union _)
+    }),
     "dedup_groups" -> ((s, dir) => {
       // Pair → group resolution: near-dup pairs (the oracled jaccard set)
       // → connected components → (doc_id, group_id, keep) with the min-id
@@ -909,6 +922,7 @@ object SparkEntry {
         "round(sum(value), 2) AS total_value FROM s GROUP BY user_id, sid"),
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_incremental" -> ngramJaccardOracle,
     "dedup_groups" ->
       // Same jaccard pair set, then a recursive-CTE min-reachable-id per
       // node (= connected-component representative); docs in no pair are

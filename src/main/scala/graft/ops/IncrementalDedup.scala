@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.io.IcebergishTable
+
+/** Incremental MinHash-LSH dedup: process a corpus in arriving batches
+  * against a PERSISTED signature table, so each batch's cost is
+  * O(batch × matches) instead of re-sketching the whole corpus — the shape
+  * a training-data pipeline actually runs when a crawl lands daily.
+  *
+  * Per batch: sketch the new docs (same shingle→minhash→band pipeline as
+  * [[Dedup.minhashLshPairs]]), candidate-join the new band buckets against
+  * new ∪ committed buckets (never old×old — those pairs were emitted by
+  * earlier batches), verify candidates by exact fingerprint-set jaccard,
+  * then commit the new signatures to the state table. The state is an
+  * [[IcebergishTable]] bucketed by id: appends are atomic snapshots, so a
+  * crashed batch never half-publishes, and a REPLAYED batch converges —
+  * ids already committed are anti-joined out, emitting zero new pairs and
+  * appending nothing (exactly-once by doc id without an external ack log).
+  *
+  * Union of emitted pairs over any batch split ≡ the single-shot
+  * [[Dedup.minhashLshPairs]] run on the whole corpus (spec-asserted, and
+  * `dedup_incremental` puts a 3-batch split under the brute-force jaccard
+  * DuckDB oracle): a cross-batch pair (a ∈ batch_i, b ∈ batch_j, j < i)
+  * shares the same band keys it would in the full run, so it surfaces as a
+  * candidate exactly when batch_i lands.
+  *
+  * Scale: the batch side of the candidate join is small (one delivery) and
+  * AQE-broadcasts; the state side explodes only (id, band, key) — 16
+  * bytes/band — never text or fingerprint arrays. The verify join ships
+  * fingerprint arrays for CANDIDATE ids only. State reads are columnar and
+  * prune to the three signature columns; state growth is plain table
+  * growth, reclaimable with the existing compact/expire machinery.
+  */
+object IncrementalDedup {
+
+  /** Process one batch; returns the verified near-dup pairs this batch
+    * adds: (ia, ib, jaccard) with ia < ib, at least one side new.
+    */
+  def processBatch(batch: DataFrame, idCol: String, textCol: String,
+                   stateTable: String, stateBuckets: Int = 16,
+                   w: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 2,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val nh = numHashes
+    val rb = rowsPerBand
+    val ww = w
+    val newSigs = batch
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = Signatures.shingles(text, ww)
+        (id, Signatures.shingleHashes(sh),
+          Signatures.bandKeys(Signatures.minhash(sh, nh), rb))
+      }.toDF("id", "sh", "bandKeys")
+
+    val hasState = IcebergishTable.currentSnapshot(stateTable) >= 0
+    val oldSigs =
+      if (hasState)
+        IcebergishTable.read(spark, stateTable)
+          .select(col("id"), col("sh"), col("bandKeys"))
+      else
+        spark.emptyDataset[(Long, Seq[Long], Seq[Long])]
+          .toDF("id", "sh", "bandKeys")
+
+    // Replay protection: ids already committed are not re-sketched into
+    // state and emit no pairs — a re-delivered batch is a no-op.
+    val fresh = newSigs
+      .join(oldSigs.select(col("id")), Seq("id"), "left_anti")
+      // Consumed by bucket join (2 sides), verify join, and the state
+      // append: sketch each doc once.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bNew = fresh.select(col("id"),
+      posexplode(col("bandKeys")).as(Seq("band", "key")))
+    val bAll = bNew.union(oldSigs.select(col("id"),
+      posexplode(col("bandKeys")).as(Seq("band", "key"))))
+    // New×(new ∪ old): the left side is always fresh, so old×old pairs
+    // (already emitted by the batch that made them new) cannot reappear.
+    val cand = bNew.toDF("a", "band", "key")
+      .join(bAll.toDF("b", "band", "key"), Seq("band", "key"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("ia"),
+        greatest(col("a"), col("b")).as("ib"))
+      .distinct()
+
+    val allSh = fresh.select(col("id"), col("sh"))
+      .union(oldSigs.select(col("id"), col("sh")))
+    val out = cand
+      .join(allSh.toDF("ia", "sha"), Seq("ia"))
+      .join(allSh.toDF("ib", "shb"), Seq("ib"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"), 4))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("ia"), col("ib"), col("jaccard"))
+    // Materialize pairs BEFORE the state append: the returned frame must
+    // not lazily recompute against a state that now contains this batch
+    // (every fresh id would self-candidate against its committed copy).
+    val pairs = out.localCheckpoint()
+
+    if (fresh.limit(1).count() > 0)
+      IcebergishTable.write(fresh.select(col("id"), col("sh"), col("bandKeys")),
+        stateTable, "id", stateBuckets,
+        if (hasState) SaveMode.Append else SaveMode.Overwrite)
+    fresh.unpersist(blocking = false)
+    pairs
+  }
+}

@@ -137,6 +137,42 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall@10 on planted neighbors too low: $recall")
   }
 
+  test("incremental dedup: batch union equals single-shot; replayed batch is a no-op") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Corpus with planted near-dups CROSSING batch boundaries (ids 0..29,
+    // batched by id % 3; dup of doc i is doc i+20, different batch for
+    // most i).
+    def doc(i: Long): String = {
+      val base = (0 until 30).map(k => s"w${Rng.nextInt(31L, i, k.toLong, 50)}").mkString(" ")
+      base
+    }
+    val texts = (0L until 20L).map(i => (i, doc(i))) ++
+      (20L until 30L).map(i => (i, doc(i - 20) + " tail"))
+    val corpus = texts.toDF("doc_id", "text")
+    val full = graft.ops.Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty, "fixture must contain near-dup pairs")
+
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-incspec").toString + "/sigs"
+    val batches = (0 until 3).map(i =>
+      corpus.where(pmod(col("doc_id"), lit(3)) === i))
+    val incremental = batches.map(b =>
+      graft.ops.IncrementalDedup.processBatch(b, "doc_id", "text", state)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    assert(incremental.reduce(_ union _) == full,
+      "incremental pair union diverged from the single-shot run")
+
+    // Replay batch 1: already-committed ids emit nothing and append nothing.
+    val snapBefore = graft.io.IcebergishTable.currentSnapshot(state)
+    val replay = graft.ops.IncrementalDedup.processBatch(
+      batches(1), "doc_id", "text", state)
+    assert(replay.count() == 0, "replayed batch must emit no pairs")
+    assert(graft.io.IcebergishTable.currentSnapshot(state) == snapBefore,
+      "replayed batch must not commit a new snapshot")
+  }
+
   test("resolveGroups: transitive pair chains become min-id groups; singletons survive") {
     val spark0 = spark
     import spark0.implicits._
