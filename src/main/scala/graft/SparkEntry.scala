@@ -484,6 +484,39 @@ object SparkEntry {
         case (k, None) => s.conf.unset(k)
       }
     }),
+    "kg_meta_agg" -> ((s, _) => {
+      // METADATA-ONLY aggregation under the oracle: COUNT/MIN/MAX answered
+      // entirely from the manifest (per-file exact row counts + zone-map
+      // bounds, DSv2 complete aggregate pushdown — zero data files read;
+      // MetaAggSpec proves that by hiding the data dir). The require()
+      // pins the metadata plan, and DuckDB recomputes the same values
+      // from range() — a wrong manifest count/bound breaks the hash.
+      val dir = java.nio.file.Files.createTempDirectory("graft-mg").toString
+      val touched = Seq("spark.sql.catalog.graft_mg",
+        "spark.sql.catalog.graft_mg.warehouse")
+      val saved = touched.map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.catalog.graft_mg",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_mg.warehouse", dir)
+      try {
+        def slice(a: Long, b: Long): DataFrame = s.range(a, b)
+          .select(concat(lit("k"),
+            lpad((col("id") % 37).cast("string"), 2, "0")).as("k"),
+            col("id").as("v"))
+        graft.io.IcebergishTable.write(slice(0, 1000), s"$dir/t", "k", 4)
+        graft.io.IcebergishTable.write(slice(1000, 1300), s"$dir/t", "k", 4,
+          org.apache.spark.sql.SaveMode.Append)
+        val agg = s.sql("SELECT count(*) AS n, min(v) AS mn, max(v) AS mx, " +
+          "min(k) AS mk, max(k) AS xk FROM graft_mg.t")
+        require(agg.queryExecution.executedPlan.toString
+            .contains("GraftMetaAggScan"),
+          "metadata aggregation did not push to the manifest")
+        agg.localCheckpoint()
+      } finally saved.foreach {
+        case (k, Some(prev)) => s.conf.set(k, prev)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
     "kg_eq_delete" -> ((s, _) => {
       // Equality deletes under the oracle, INCLUDING sequence scoping: a
       // blind delete-by-key (no data scan), then an append that REUSES
@@ -762,6 +795,13 @@ object SparkEntry {
         "CAST(sum(i) AS BIGINT) AS sum_v, CAST(min(i) AS BIGINT) AS min_v, " +
         "CAST(max(i) AS BIGINT) AS max_v " +
         "FROM range(100000, 100900) t(i) GROUP BY 1"),
+    "kg_meta_agg" ->
+      // The manifest-answered aggregates, recomputed from the same range.
+      ("SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(i) AS BIGINT) AS mn, " +
+        "CAST(max(i) AS BIGINT) AS mx, " +
+        "min('k' || lpad(CAST(i % 37 AS VARCHAR), 2, '0')) AS mk, " +
+        "max('k' || lpad(CAST(i % 37 AS VARCHAR), 2, '0')) AS xk " +
+        "FROM range(0, 1300) t(i)"),
     "kg_eq_delete" ->
       // Era 1 minus the deleted keys, plus era 2 complete (re-inserts
       // survive the seq-scoped tombstone).

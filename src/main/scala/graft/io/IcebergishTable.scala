@@ -364,18 +364,22 @@ object IcebergishTable {
     // files' entries carry forward from the parent manifest like sizes.
     // Footer reads are independent ~ms I/O — a parallel map keeps a
     // many-file commit's stats pass off the serial driver path.
-    val addedStats: Map[String, String] = {
+    // Per-file (stats entry, exact row count), ONE footer open per file.
+    // Row counts feed metadata-only aggregation (COUNT/MIN/MAX answered
+    // from the manifest); -1 (unreadable footer) refuses that path for the
+    // affected snapshot rather than corrupting it.
+    val addedStats: Map[String, (String, Long)] = {
       val tStats = System.nanoTime()
       val distinctAdded = added.distinct
       val out =
         if (distinctAdded.size <= 4)
-          distinctAdded.map(f => f -> ManifestStats.statsEntryOf(d.resolve(f))).toMap
+          distinctAdded.map(f => f -> ManifestStats.statsAndCount(d.resolve(f))).toMap
         else {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.duration.Duration
           import scala.concurrent.ExecutionContext.Implicits.global
           Await.result(Future.traverse(distinctAdded)(f =>
-            Future(f -> ManifestStats.statsEntryOf(d.resolve(f)))), Duration.Inf)
+            Future(f -> ManifestStats.statsAndCount(d.resolve(f)))), Duration.Inf)
             .toMap
         }
       if (sys.env.contains("GRAFT_TIMING"))
@@ -449,8 +453,16 @@ object IcebergishTable {
       // y via field ids) and could skip files that match — silently wrong
       // scans. Iceberg keys bounds by field id for exactly this reason.
       val colstats = fileList.map(f =>
-        addedStats.getOrElse(f,
+        addedStats.get(f).map(_._1).getOrElse(
           ManifestStats.rekeyEntry(prevStats.getOrElse(f, "{}"), statsRekey)))
+      // Per-file exact row counts, index-aligned like sizes: own files from
+      // the footer reads above, inherited files carried forward, pre-
+      // feature parents degrade to -1 (metadata aggregation then refuses).
+      val prevFileRows: Map[String, Long] = parentJson
+        .flatMap(j => filerowsFromJson(j, table, base))
+        .map(_.toMap).getOrElse(Map.empty)
+      val fileRows = fileList.map(f =>
+        addedStats.get(f).map(_._2).getOrElse(prevFileRows.getOrElse(f, -1L)))
       // Streaming epoch high-waters ride the manifest (carried forward on
       // EVERY commit): the VERSION swap is then the single atomic point
       // that commits a micro-batch's files AND records its epoch — no
@@ -525,6 +537,7 @@ object IcebergishTable {
         s"""{"snapshot":$target,"rows":$rows,$bucketMeta$epochMeta$fidMeta$ghostMeta$deletesMeta"partitions":[${parts.sorted.mkString(",")}],
            |"sizes":[${sizes.mkString(",")}],
            |"seqs":[${seqs.mkString(",")}],
+           |"filerows":[${fileRows.mkString(",")}],
            |"files":[${files.mkString(",")}],
            |"colstats":[${colstats.mkString(",")}],
            |"schema":$effSchemaJson}""".stripMargin.replace("\n", "")
@@ -2341,6 +2354,27 @@ object IcebergishTable {
       val files = manifestFilesStrict(table, snapshot, json)
       if (files.length == seqs.length) Some(files.zip(seqs)) else None
     }
+
+  private def filerowsFromJson(json: String, table: String,
+                               snapshot: Int): Option[Seq[(String, Long)]] =
+    """"filerows":\[([\-0-9,\s]*)\]""".r.findFirstMatchIn(json).flatMap { g =>
+      val rows = g.group(1).split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      val files = manifestFilesStrict(table, snapshot, json)
+      if (files.length == rows.length) Some(files.zip(rows)) else None
+    }
+
+  /** (file → exact row count) of a snapshot's data files, or None when the
+    * manifest predates row tracking / is misaligned. Individual entries
+    * can be -1 (footer unreadable at commit time); consumers needing
+    * exactness (metadata aggregation) must refuse on any -1.
+    */
+  def snapshotFileRows(table: String, snapshot: Int): Option[Map[String, Long]] = {
+    val m = dir(table).resolve(s"snap-$snapshot.json")
+    if (!Files.exists(m)) return None
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    filerowsFromJson(json, table, snapshot).map(_.toMap)
+  }
 
   /** (file → data sequence number) of a snapshot: the snapshot id that
     * added each file. Files from pre-seq manifests map to 0.

@@ -84,7 +84,14 @@ object ManifestStats {
   /** Encode one file's column stats as a manifest entry (`{}` when nothing
     * usable). Never throws — stats are advisory.
     */
-  def statsEntryOf(file: Path): String =
+  def statsEntryOf(file: Path): String = statsAndCount(file)._1
+
+  /** Stats entry AND the file's exact row count, from ONE footer open.
+    * Row count -1 when the footer is unreadable (stats stay advisory; a
+    * -1 in the manifest refuses metadata-only aggregation for the table,
+    * it never corrupts it).
+    */
+  def statsAndCount(file: Path): (String, Long) =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.toUri), hadoopConf)
@@ -112,12 +119,15 @@ object ManifestStats {
             }
           }
         }
-        if (merged.isEmpty) "{}"
-        else merged.toSeq.sortBy(_._1).map { case (n, (mn, mx)) =>
-          s""""${esc(n)}":["${esc(mn)}","${esc(mx)}"]"""
-        }.mkString("{", ",", "}")
+        val rows = blocks.iterator.map(_.getRowCount).sum
+        val entry =
+          if (merged.isEmpty) "{}"
+          else merged.toSeq.sortBy(_._1).map { case (n, (mn, mx)) =>
+            s""""${esc(n)}":["${esc(mn)}","${esc(mx)}"]"""
+          }.mkString("{", ",", "}")
+        (entry, rows)
       } finally reader.close()
-    } catch { case scala.util.control.NonFatal(_) => "{}" }
+    } catch { case scala.util.control.NonFatal(_) => ("{}", -1L) }
 
   /** "l" = integral-compared, "d" = double-compared, "s" = string/bytes. */
   private def statKind(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): String = {
@@ -529,6 +539,32 @@ object ManifestStats {
       case Some(entries) if entries.length == files.length =>
         files.zip(entries.map(parseEntry)).toMap
       case _ => Map.empty
+    }
+  }
+
+  /** Metadata MIN/MAX support for a column type: (decode an encoded bound
+    * into Spark's INTERNAL value, compare two encoded bounds). Floats and
+    * doubles are deliberately unsupported — a file can contain NaN without
+    * NaN footer bounds, and SQL MAX must surface the NaN; every other
+    * supported type's footer bounds are exact over the file's non-null
+    * rows, which is precisely SQL MIN/MAX's domain.
+    */
+  def minMaxSupport(dt: DataType)
+      : Option[(String => Any, (String, String) => Int)] = {
+    def longCmp: (String, String) => Int =
+      (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+    dt match {
+      case ByteType => Some((enc => enc.toLong.toByte, longCmp))
+      case ShortType => Some((enc => enc.toLong.toShort, longCmp))
+      case IntegerType | DateType => Some((enc => enc.toLong.toInt, longCmp))
+      case LongType | TimestampType | TimestampNTZType =>
+        Some((enc => enc.toLong, longCmp))
+      case BooleanType =>
+        Some((enc => enc == "1", (a, b) => a.compareTo(b)))
+      case StringType =>
+        Some(((enc: String) => UTF8String.fromString(enc),
+          (a, b) => utf8Cmp(a, b)))
+      case _ => None
     }
   }
 

@@ -166,11 +166,13 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
                              maxFilesPerTrigger: Option[Int] = None,
                              maxSnapshotsPerTrigger: Option[Int] = None)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = tableSchema
   private var dataFilters: Array[Filter] = Array.empty
   private var prunedBuckets: Option[Set[Int]] = None
+  private var aggResult: Option[(StructType, Array[Any])] = None
 
   /** The snapshot this builder's scan will read — resolved ONCE, here, and
     * passed pinned into [[GraftScan]]: eq-delete key discovery (below) and
@@ -238,15 +240,147 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = dataFilters
 
+  /** METADATA-ONLY aggregation (Iceberg-class): `COUNT(*)`, `MIN(col)`,
+    * `MAX(col)` answered entirely from the manifest — per-file exact row
+    * counts (`filerows`) and zone-map bounds (`colstats`) — touching ZERO
+    * data files. On a 100 TB table `SELECT count(*)` becomes one manifest
+    * read. Complete pushdown only, and only when exactness is provable:
+    *
+    * - no residual data filters (bucket pruning is fine — counts/bounds
+    *   combine over the surviving buckets' files);
+    * - no position/equality delete files in the snapshot (a deleted row
+    *   could be the min, or change the count);
+    * - every live file has a non-negative row count;
+    * - for MIN/MAX: supported type (floats excluded — NaN can hide outside
+    *   footer bounds), no ghost-shadowed name, and every file with rows
+    *   must carry the column's bounds entry (an all-null file has none —
+    *   refusing there is what keeps NULL semantics exact).
+    *
+    * Anything else returns false and Spark runs the ordinary scan.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = tryMetadataAgg(agg)
+    aggResult.isDefined
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggResult.isDefined // partial pushdown is never worth a manifest's lie
+
+  private def tryMetadataAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions().nonEmpty) return None
+    if (dataFilters.nonEmpty) return None
+    val snap = pinnedSnap
+    if (snap < 0) return None
+    if (IcebergishTable.snapshotDeleteFiles(path, snap).nonEmpty) return None
+    val rowsByFile = IcebergishTable.snapshotFileRows(path, snap)
+      .getOrElse(return None)
+    val live = IcebergishTable.snapshotFilesOpt(path, snap)
+      .getOrElse(return None)
+      .filter(f => prunedBuckets.forall(_.contains(
+        IcebergishTable.bucketOfPath(f))))
+    val rows = live.map(f => rowsByFile.getOrElse(f, -1L))
+    if (rows.exists(_ < 0)) return None
+    val ghosts = IcebergishTable.snapshotGhostNames(path, snap).toSet
+    lazy val statsMap = graft.io.ManifestStats.fileStatsOf(path, snap)
+
+    def bound(colName: String, wantMin: Boolean): Option[Option[Any]] = {
+      // Outer None = refuse pushdown; inner None = SQL NULL (no rows).
+      if (ghosts.contains(colName)) return None
+      val fld = tableSchema.fields.find(_.name == colName).getOrElse(return None)
+      val (decode, cmp) = graft.io.ManifestStats.minMaxSupport(fld.dataType)
+        .getOrElse(return None)
+      val withRows = live.zip(rows).filter(_._2 > 0).map(_._1)
+      val entries = withRows.map(f => statsMap.getOrElse(f, Map.empty)
+        .get(colName).getOrElse(return None))
+      if (entries.isEmpty) Some(None)
+      else {
+        val encoded = entries.map(e => if (wantMin) e._1 else e._2)
+          .reduce((a, b) =>
+            if (wantMin) { if (cmp(a, b) <= 0) a else b }
+            else { if (cmp(a, b) >= 0) a else b })
+        Some(Some(decode(encoded)))
+      }
+    }
+
+    val out = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        (StructField("count(*)", org.apache.spark.sql.types.LongType,
+          nullable = false), rows.sum.asInstanceOf[Any])
+      case m: Min => m.column() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val name = nr.fieldNames()(0)
+          val v = bound(name, wantMin = true).getOrElse(return None)
+          (StructField(s"min($name)",
+            tableSchema.fields.find(_.name == name).get.dataType),
+            v.orNull.asInstanceOf[Any])
+        case _ => return None
+      }
+      case m: Max => m.column() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val name = nr.fieldNames()(0)
+          val v = bound(name, wantMin = false).getOrElse(return None)
+          (StructField(s"max($name)",
+            tableSchema.fields.find(_.name == name).get.dataType),
+            v.orNull.asInstanceOf[Any])
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some((StructType(out.map(_._1)), out.map(_._2)))
+  }
+
   // The scan gets the BUILDER's pinned snapshot (never re-resolves): eq
   // metadata captured at pruneColumns time and file planning then agree.
   // A not-yet-committed table (pinnedSnap -1) stays unpinned — the scan
   // resolves current state exactly as before.
-  override def build(): Scan =
-    new GraftScan(path, dataSchema, requiredSchema, bucketSpec,
-      prunedBuckets, dataFilters,
-      if (pinnedSnap >= 0) Some(pinnedSnap) else snapshot,
-      maxFilesPerTrigger, maxSnapshotsPerTrigger)
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) => new GraftMetaAggScan(schema, values)
+    case None =>
+      new GraftScan(path, dataSchema, requiredSchema, bucketSpec,
+        prunedBuckets, dataFilters,
+        if (pinnedSnap >= 0) Some(pinnedSnap) else snapshot,
+        maxFilesPerTrigger, maxSnapshotsPerTrigger)
+  }
+}
+
+/** Result of a fully-pushed metadata aggregation: one partition, one row,
+  * zero data files opened. Values were computed at plan time from the
+  * manifest; strings travel as java.lang.String and become UTF8String in
+  * the reader.
+  */
+final case class GraftMetaAggPartition(values: Array[Any]) extends InputPartition
+
+final class GraftMetaAggScan(schema: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMetaAggScan(metadata-only: ${schema.fieldNames.mkString(", ")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftMetaAggPartition(values.map {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case v => v
+    }))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vals = p.asInstanceOf[GraftMetaAggPartition].values.map {
+            case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case v => v
+          }
+          private var served = false
+          override def next(): Boolean = if (served) false else { served = true; true }
+          override def get(): InternalRow = new GenericInternalRow(vals)
+          override def close(): Unit = ()
+        }
+    }
 }
 
 /** A bucket's worth of files, keyed for storage-partitioned joins.

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.IcebergishTable
+
+/** Metadata-only aggregation (DSv2 complete aggregate pushdown):
+  * COUNT(*) / MIN / MAX answered from the manifest's per-file row counts
+  * and zone maps — zero data files read — with exact fallbacks whenever
+  * exactness can't be proven (filters, MOR deletes, missing stats).
+  */
+class MetaAggSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val dir = Files.createTempDirectory("graft-metaagg").toString
+    import spark.implicits._
+    val rows = spark.range(0, 1000)
+      .select(concat(lit("k"), lpad((col("id") % 37).cast("string"), 2, "0")).as("k"),
+        col("id").as("v"))
+    IcebergishTable.write(rows, s"$dir/t", "k", 8)
+    spark.conf.set("spark.sql.catalog.graft_ma",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ma.warehouse", dir)
+    dir
+  }
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("count/min/max fully push to the manifest and survive data-dir removal") {
+    warehouse
+    val agg = spark.sql(
+      "SELECT count(*) AS n, min(v) AS mn, max(v) AS mx, min(k) AS mk, max(k) AS xk FROM graft_ma.t")
+    assert(plan(agg).contains("GraftMetaAggScan"), plan(agg))
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)) ==
+      ((1000L, 0L, 999L, "k00", "k36")))
+
+    // THE metadata-only proof: with every data file hidden, the answer
+    // still comes back — nothing but the manifest was consulted.
+    val dataDir = Paths.get(s"$warehouse/t/data")
+    val hidden = Paths.get(s"$warehouse/t/data-hidden")
+    Files.move(dataDir, hidden)
+    try {
+      val r2 = spark.sql(
+        "SELECT count(*) AS n, min(v) AS mn, max(v) AS mx FROM graft_ma.t").head()
+      assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((1000L, 0L, 999L)))
+    } finally Files.move(hidden, dataDir)
+  }
+
+  test("bucket-pruned count stays metadata-only and exact") {
+    warehouse
+    val direct = IcebergishTable.read(spark, s"$warehouse/t")
+      .where(col(IcebergishTable.PartCol) === 3).count()
+    val agg = spark.sql("SELECT count(*) AS n FROM graft_ma.t WHERE part = 3")
+    assert(plan(agg).contains("GraftMetaAggScan"), plan(agg))
+    assert(agg.head().getLong(0) == direct && direct > 0)
+  }
+
+  test("fallbacks: data filter, group-by, and MOR deletes all run the real scan") {
+    warehouse
+    // Residual data filter → normal scan, still correct.
+    val filtered = spark.sql("SELECT count(*) AS n FROM graft_ma.t WHERE v >= 500")
+    assert(!plan(filtered).contains("GraftMetaAggScan"), plan(filtered))
+    assert(filtered.head().getLong(0) == 500L)
+    // GROUP BY → normal scan.
+    val grouped = spark.sql("SELECT k, count(*) FROM graft_ma.t GROUP BY k")
+    assert(!plan(grouped).contains("GraftMetaAggScan"), plan(grouped))
+    assert(grouped.count() == 37L)
+
+    // A MOR position delete makes file row counts lie about live rows —
+    // pushdown must refuse until the table is compacted (COW fold).
+    val t = s"$warehouse/t"
+    val deleted = IcebergishTable.deleteWhere(spark, t,
+      col("v") === 123L, morMaxRows = 100)
+    assert(deleted == 1L)
+    val afterDel = spark.sql("SELECT count(*) AS n, max(v) AS mx FROM graft_ma.t")
+    assert(!plan(afterDel).contains("GraftMetaAggScan"), plan(afterDel))
+    assert((afterDel.head().getLong(0), afterDel.head().getLong(1)) == ((999L, 999L)))
+    // Compact folds the tombstones into rewritten files: exactness is
+    // provable again and the metadata path returns.
+    IcebergishTable.compact(spark, t, 8, "k")
+    val compacted = spark.sql("SELECT count(*) AS n, min(v) AS mn FROM graft_ma.t")
+    assert(plan(compacted).contains("GraftMetaAggScan"), plan(compacted))
+    assert((compacted.head().getLong(0), compacted.head().getLong(1)) == ((999L, 0L)))
+  }
+
+  test("snapshot time travel aggregates the pinned state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-metaagg-tt").toString
+    val t = s"$dir/t"
+    IcebergishTable.write(
+      spark.range(0, 100).select(col("id").cast("string").as("k"), col("id").as("v")),
+      t, "k", 4)
+    val snap0 = IcebergishTable.currentSnapshot(t)
+    IcebergishTable.write(
+      spark.range(100, 150).select(col("id").cast("string").as("k"), col("id").as("v")),
+      t, "k", 4, org.apache.spark.sql.SaveMode.Append)
+    spark.conf.set("spark.sql.catalog.graft_tt",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tt.warehouse", dir)
+    val cur = spark.sql("SELECT count(*) AS n, max(v) AS mx FROM graft_tt.t").head()
+    assert((cur.getLong(0), cur.getLong(1)) == ((150L, 149L)))
+    val pinned = spark.read.option("snapshot", snap0.toString).table("graft_tt.t")
+      .agg(count(lit(1)).as("n"), max(col("v")).as("mx")).head()
+    assert((pinned.getLong(0), pinned.getLong(1)) == ((100L, 99L)))
+  }
+}
