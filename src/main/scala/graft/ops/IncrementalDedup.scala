@@ -38,6 +38,13 @@ object IncrementalDedup {
 
   /** Process one batch; returns the verified near-dup pairs this batch
     * adds: (ia, ib, jaccard) with ia < ib, at least one side new.
+    *
+    * Batches must be processed SERIALLY per state table (the reality of a
+    * daily-crawl pipeline): two batches processed CONCURRENTLY would each
+    * read a state missing the other, so a cross-pair between them could
+    * surface in neither — the appends themselves merge safely (multi-
+    * writer commit CAS), but pair completeness needs the read-compare-
+    * append cycle to be serialized by the caller.
     */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
                    stateTable: String, stateBuckets: Int = 16,
