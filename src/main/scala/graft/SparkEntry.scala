@@ -321,6 +321,17 @@ object SparkEntry {
       ops.Ann.knnJoin(emb.where(col("vec_id") < 8), "vec_id", "embedding",
         path, k = 5, fullProbe = true)
     }),
+    "ann_ivf_knn_join" -> ((s, dir) => {
+      // IVF flavor of the batch k-NN join, full-probe (== per-query brute
+      // force) so the cell layout + stored-centroid probe ranking + batch
+      // join all sit under the same oracle as ann_knn_join.
+      val emb = t(s, dir, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivfknnj").toString + "/index"
+      ops.Ann.writeIvfIndex(emb, "vec_id", "embedding", path, nCells = 8)
+      ops.Ann.ivfKnnJoin(emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        path, k = 5, fullProbe = true)
+    }),
     "embed_lsh_pairs" -> ((s, dir) =>
       ops.Ann.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         minCosine = 0.4)),
@@ -1004,16 +1015,10 @@ object SparkEntry {
         "FROM embeddings a, embeddings b " +
         "WHERE a.vec_id = 0 AND b.vec_id <> 0 " +
         "ORDER BY cosine DESC, b.vec_id ASC LIMIT 10"),
-    "ann_knn_join" ->
-      // Batch full-probe ≡ per-query brute-force top-k over the query set.
-      ("SELECT query_id, vec_id, cosine, rank FROM (" +
-        "SELECT a.vec_id AS query_id, b.vec_id AS vec_id, " +
-        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine, " +
-        "row_number() OVER (PARTITION BY a.vec_id " +
-        "ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) DESC, b.vec_id ASC) AS rank " +
-        "FROM embeddings a, embeddings b " +
-        "WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id" +
-        ") WHERE rank <= 5"),
+    // Batch full-probe ≡ per-query brute-force top-k over the query set
+    // (shared by the LSH and IVF batch joins — both run full-probe).
+    "ann_knn_join" -> knnJoinOracle,
+    "ann_ivf_knn_join" -> knnJoinOracle,
     "text_tokens" ->
       ("SELECT doc_id, length(text) AS n_chars, " +
         "length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens, " +
@@ -1093,6 +1098,16 @@ object SparkEntry {
     * exact inverted-index variant and the MinHash+LSH variant (whose
     * recall at the 0.5 threshold is 1 - 1e-8 with 64 bands × 2 rows).
     */
+  private val knnJoinOracle: String =
+    "SELECT query_id, vec_id, cosine, rank FROM (" +
+      "SELECT a.vec_id AS query_id, b.vec_id AS vec_id, " +
+      "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine, " +
+      "row_number() OVER (PARTITION BY a.vec_id " +
+      "ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) DESC, b.vec_id ASC) AS rank " +
+      "FROM embeddings a, embeddings b " +
+      "WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id" +
+      ") WHERE rank <= 5"
+
   private val ngramJaccardOracle: String =
     "WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents), " +
       "s AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +

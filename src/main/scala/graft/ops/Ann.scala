@@ -350,6 +350,73 @@ object Ann {
       .limit(k)
   }
 
+  /** Persist an IVF index disk-partitioned by cell (`cell=<c>` dirs →
+    * partition-pruned probes) plus its trained centroids at
+    * `<path>/_centroids` — probes must rank cells with the index's OWN
+    * centroids; retraining at probe time would assign different cells.
+    */
+  def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    path: String, nCells: Int = 16, iters: Int = 3): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(df, idCol, vecCol, nCells, iters)
+    ivfIndex(df, idCol, vecCol, cents)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Batch k-NN join over a [[writeIvfIndex]] index: top-k for every query
+    * in one job. Per query the stored centroids rank cells and the best
+    * `nProbe` are probed — a narrow map over broadcast centroids (nCells ×
+    * dim doubles), then ONE cell equi-join and a windowed per-query top-k,
+    * the same bulk-parallel shape as [[knnJoin]]. `nProbe >= nCells` (or
+    * `fullProbe`) probes everything — provably per-query brute force, the
+    * oracle anchor; smaller nProbe trades recall for reading only the
+    * probed cells' partitions.
+    */
+  def ivfKnnJoin(queries: DataFrame, idCol: String, vecCol: String,
+                 indexPath: String, k: Int, nProbe: Int = 4,
+                 fullProbe: Boolean = false,
+                 excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents: Array[Array[Double]] =
+      spark.read.parquet(s"$indexPath/_centroids")
+        .select(col("cell"), col("centroid"))
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val np = if (fullProbe) cents.length else math.min(nProbe, cents.length)
+    val probes = normalized(queries, idCol, vecCol).as[(Long, Seq[Double])]
+      .flatMap { case (id, vec) =>
+        val a = vec.toArray
+        val ranked = bc.value.zipWithIndex.map { case (c, i) =>
+          var s = 0.0
+          val n = math.min(c.length, a.length)
+          var d = 0
+          while (d < n) { s += c(d) * a(d); d += 1 }
+          (i, s)
+        }.sortBy(-_._2).take(np).map(_._1)
+        ranked.map(cell => (id, vec, cell))
+      }.toDF("query_id", "qv", "cell")
+    val index = spark.read.parquet(indexPath)
+    val joined = index.join(probes, Seq("cell"))
+    val cand = if (excludeSelf) joined.where(col("id") =!= col("query_id"))
+               else joined
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    cand
+      .withColumn("cosine", round(dot(col("v"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("vec_id"), col("cosine"),
+        col("rank"))
+  }
+
   /** Embedding near-dup pairs at scale: vectors meeting `minCosine` tend
     * to share sign-LSH buckets; join within buckets only, verify by exact
     * cosine. Complements [[Dedup.embeddingCosinePairs]] (brute force).

@@ -88,6 +88,38 @@ class MetaAggSpec extends SparkSpec {
     assert((compacted.head().getLong(0), compacted.head().getLong(1)) == ((999L, 0L)))
   }
 
+  test("metadata MIN/MAX follows a rename and refuses ghost-shadowed names") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-metaagg-ren").toString
+    val t = s"$dir/t"
+    IcebergishTable.write(
+      spark.range(0, 200).select(col("id").cast("string").as("k"), col("id").as("v")),
+      t, "k", 4)
+    spark.conf.set("spark.sql.catalog.graft_mr",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mr.warehouse", dir)
+    // Rename v -> w: the evolution commit re-keys the carried zone-map
+    // entries to the new name, so the metadata path answers min/max(w)
+    // from old files' stats without reading them.
+    IcebergishTable.renameColumn(t, "v", "w")
+    val agg = spark.sql("SELECT count(*) AS n, min(w) AS mn, max(w) AS mx FROM graft_mr.t")
+    assert(plan(agg).contains("GraftMetaAggScan"), plan(agg))
+    assert((agg.head().getLong(0), agg.head().getLong(1), agg.head().getLong(2)) ==
+      ((200L, 0L, 199L)))
+    // Re-introduce the DEAD name: old files still physically carry "v"
+    // under the dropped binding, so "v" is a ghost — the metadata path
+    // must refuse (stale bounds would be consulted otherwise) and the
+    // fallback scan must return the re-added column's values (all null).
+    IcebergishTable.addColumn(t, "v", org.apache.spark.sql.types.LongType)
+    val ghosted = spark.sql("SELECT min(v) AS mn FROM graft_mr.t")
+    assert(!plan(ghosted).contains("GraftMetaAggScan"), plan(ghosted))
+    assert(ghosted.head().isNullAt(0))
+    // The renamed column still answers from metadata alongside.
+    val still = spark.sql("SELECT max(w) AS mx FROM graft_mr.t")
+    assert(plan(still).contains("GraftMetaAggScan"), plan(still))
+    assert(still.head().getLong(0) == 199L)
+  }
+
   test("snapshot time travel aggregates the pinned state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-metaagg-tt").toString

@@ -173,6 +173,43 @@ class OpsSpec extends SparkSpec {
       "replayed batch must not commit a new snapshot")
   }
 
+  test("IVF batch knnJoin: full-probe equals per-query brute force; pruned probe keeps recall") {
+    val spark0 = spark
+    import spark0.implicits._
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(16)(d => (Rng.nextDouble(27L, i, d.toLong) * 2 - 1).toFloat)
+    def near(q: Array[Float], i: Long): Array[Float] =
+      q.zipWithIndex.map { case (x, d) =>
+        x + 0.08f * (Rng.nextDouble(29L, i, d.toLong) * 2 - 1).toFloat
+      }
+    val queries = (0L until 3L).map(i => (i, vec(i)))
+    val planted = queries.flatMap { case (qid, qv) =>
+      (0L until 5L).map(j => (600L + qid * 10 + j, near(qv, qid * 10 + j)))
+    }
+    val emb = (queries ++ planted ++
+      (100L until 260L).map(i => (i, vec(i)))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfknn-spec").toString + "/index"
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", path, nCells = 8)
+
+    val full = Ann.ivfKnnJoin(emb.where(col("vec_id") < 3), "vec_id",
+        "embedding", path, k = 5, fullProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val perQuery = (0L until 3L).flatMap { qid =>
+      Ann.bruteForceTopK(emb, "vec_id", "embedding", qid, 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), i + 1) }
+    }.toSet
+    assert(full == perQuery, s"IVF batch full-probe != per-query brute:\n$full\nvs\n$perQuery")
+
+    val pruned = Ann.ivfKnnJoin(emb.where(col("vec_id") < 3), "vec_id",
+        "embedding", path, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = perQuery.map(t => (t._1, t._2))
+    val recall = pruned.count(bruteIds.contains).toDouble / bruteIds.size
+    assert(recall >= 0.6, s"IVF batch pruned recall too low: $recall")
+  }
+
   test("resolveGroups: transitive pair chains become min-id groups; singletons survive") {
     val spark0 = spark
     import spark0.implicits._
