@@ -416,7 +416,37 @@ final class GraftScan(path: String, dataSchema: StructType,
                       snapshot: Option[Int] = None,
                       maxFilesPerTrigger: Option[Int] = None,
                       maxSnapshotsPerTrigger: Option[Int] = None)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
+
+  /** RUNTIME bucket pruning (dynamic partition pruning, DSv2 flavor): a
+    * join whose build side constrains `part` hands this scan an IN-list
+    * AT EXECUTION TIME, and whole bucket directories drop out before any
+    * file is opened — on a 1000-executor cluster, the difference between
+    * scanning the table and scanning the few buckets a selective join
+    * actually touches. Filters on anything else are ignored here (Spark
+    * re-applies them above the scan; pruning is an optimization, never a
+    * correctness dependency).
+    */
+  private var runtimeBuckets: Option[Set[Int]] = None
+
+  // Declared ONLY when the scan actually outputs `part` (it is a metadata
+  // column): Spark resolves filterAttributes against the scan's output,
+  // and advertising an unprojected column fails resolution for EVERY
+  // query on the table. A join that constrains part necessarily projects
+  // it, so the DPP case always qualifies.
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (needsPart) Array(Expressions.column(IcebergishTable.PartCol))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val keep = filters.collect {
+      case EqualTo(c, v: Int) if c == IcebergishTable.PartCol => Set(v)
+      case In(c, vs) if c == IcebergishTable.PartCol =>
+        vs.collect { case v: Int => v }.toSet
+    }
+    if (keep.nonEmpty) runtimeBuckets = Some(keep.reduce(_ intersect _))
+  }
 
   private val needsPart =
     requiredSchema.fieldNames.contains(IcebergishTable.PartCol)
@@ -439,7 +469,18 @@ final class GraftScan(path: String, dataSchema: StructType,
     */
   private lazy val plannedPartitions: Array[InputPartition] = planPartitions()
 
-  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+  // Runtime filter applied ON TOP of the cached plan: `plannedPartitions`
+  // may already be forced (outputPartitioning runs at planning time,
+  // filter() arrives at execution time), so the prune is a filter over the
+  // cached array, never a re-plan.
+  override def planInputPartitions(): Array[InputPartition] =
+    runtimeBuckets match {
+      case Some(keep) => plannedPartitions.filter {
+        case p: GraftBucketPartition => keep.contains(p.bucket)
+        case _ => true
+      }
+      case None => plannedPartitions
+    }
 
   /** The snapshot this scan reads — resolved ONCE so partition planning,
     * delete metadata, and the reader factory agree even if the table

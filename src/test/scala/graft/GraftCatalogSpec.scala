@@ -374,4 +374,46 @@ class GraftCatalogSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("runtime bucket filtering: scan contract prunes partitions; DPP join reads only probed buckets") {
+    warehouse
+    // Contract level: the built scan accepts an IN-filter on part at
+    // "execution time" and replans to exactly those buckets.
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    val tbl = new graft.sources.v2.GraftTable("edges", s"$warehouse/edges")
+    val scan = tbl.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    val all = scan.toBatch.planInputPartitions().length
+    assert(all > 1)
+    scan.asInstanceOf[SupportsRuntimeFiltering].filter(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In(graft.io.IcebergishTable.PartCol,
+          Array(3))))
+    val pruned = scan.toBatch.planInputPartitions()
+    assert(pruned.length == 1, s"expected 1 partition, got ${pruned.length}")
+
+    // End to end: a broadcastable dim constraining part triggers dynamic
+    // pruning; result equals the statically-filtered read. The dim must be
+    // FILE-backed with a real filter — DPP's selectivity heuristic needs a
+    // Filter node, and literal LocalRelations constant-fold it away.
+    import spark.implicits._
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft-dpp-dim").toString + "/dim"
+    Seq((3, "keep"), (4, "drop"), (5, "drop")).toDF("p", "tag")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("tag") === "keep")
+    val e = spark.table("graft.edges")
+    val joined = e.join(dim, e(graft.io.IcebergishTable.PartCol) === dim("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val expect = graft.io.IcebergishTable.read(spark, s"$warehouse/edges")
+      .where(col(graft.io.IcebergishTable.PartCol) === 3).count()
+    val row = joined.head()
+    assert((row.getInt(0), row.getLong(1)) == ((3, expect)) && expect > 0)
+    // The dynamic-pruning subquery must be in the plan (the scan declares
+    // part as a runtime-filterable attribute).
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning") ||
+      p.contains("runtime filters"), p)
+  }
 }
