@@ -192,14 +192,28 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val nBlocks = maxHamming + 1
     val hashes = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, Signatures.simhash(text)) }
-      .toDF("id", "simhash")
-    val blocks = hashes.as[(Long, Long)].flatMap { case (id, h) =>
-      Signatures.simhashBlocks(h, nBlocks).map { case (b, v) => (id, h, b, v) }
-    }.toDF("id", "simhash", "block", "value")
+      .toDF("id", "h")
+    hammingPairs(hashes, maxHamming)
+  }
+
+  /** Near-dup pairs over ANY 64-bit signature column ("id", "h") by
+    * pigeonhole-block LSH: split the hash into maxHamming+1 blocks —
+    * hamming ≤ maxHamming forces at least one block equal — bucket-join on
+    * (block, value), verify with codegen'd bit_count. The generic core
+    * behind [[simhashPairs]] and [[Multimodal.imageNearDupPairs]]'s
+    * perceptual hashes.
+    */
+  def hammingPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val nBlocks = maxHamming + 1
+    val blocks = hashes.select(col("id"), col("h")).as[(Long, Long)]
+      .flatMap { case (id, h) =>
+        Signatures.simhashBlocks(h, nBlocks).map { case (b, v) => (id, h, b, v) }
+      }.toDF("id", "simhash", "block", "value")
       // Both sides of the self-join: hash the corpus once, not twice.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = blocks.toDF("ia", "ha", "block", "value")

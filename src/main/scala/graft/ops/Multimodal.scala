@@ -136,6 +136,72 @@ object Multimodal {
     out
   }
 
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: area-average
+    * the image onto a 9×8 luma grid, set bit (y,x) when cell (y,x+1) is
+    * brighter than (y,x). Horizontal gradients survive re-encoding (JPEG
+    * quantization), resizing, and brightness shifts — the standard cheap
+    * perceptual fingerprint for image near-dup detection.
+    */
+  private[graft] def dHash(img: MediaCodecs.Bmp): Long = {
+    val gw = 9; val gh = 8
+    val sums = new Array[Double](gw * gh)
+    val counts = new Array[Int](gw * gh)
+    var y = 0
+    while (y < img.height) {
+      val gy = y * gh / img.height
+      var x = 0
+      while (x < img.width) {
+        val gx = x * gw / img.width
+        val o = (y * img.width + x) * 3
+        val luma = ((img.rgb(o) & 0xff) * 299 + (img.rgb(o + 1) & 0xff) * 587 +
+          (img.rgb(o + 2) & 0xff) * 114) / 1000.0
+        sums(gy * gw + gx) += luma
+        counts(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val grid = Array.tabulate(gw * gh)(i =>
+      if (counts(i) > 0) sums(i) / counts(i) else 0.0)
+    var h = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        if (grid(gy * gw + gx + 1) > grid(gy * gw + gx))
+          h |= 1L << (gy * (gw - 1) + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    h
+  }
+
+  /** Per-image perceptual hashes: (media_id, dhash) for every decodable
+    * image row (all four container formats); corrupt payloads quarantine
+    * out (dropped here — [[extractFeaturesQuarantined]] is the counting
+    * path) instead of failing the batch. Narrow map, one decode per image.
+    */
+  def imageDHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(r => r.kind == "image" || r.kind == "jpeg" ||
+        r.kind == "png" || r.kind == "gif")
+      .flatMap { r =>
+        try Some((r.media_id, dHash(MediaCodecs.decodeImage(r.payload))))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.toDF("id", "h")
+  }
+
+  /** Image near-dup pairs: perceptual dHash + the pigeonhole-block hamming
+    * join ([[Dedup.hammingPairs]] — the same scale shape as simhash text
+    * dedup: narrow hash pass, bucket join on hash blocks, bit_count
+    * verify; never an all-pairs scan). Returns (ia, ib, hamming).
+    */
+  def imageNearDupPairs(media: Dataset[MediaRow],
+                        maxHamming: Int = 6): DataFrame =
+    Dedup.hammingPairs(imageDHashes(media), maxHamming)
+
   /** Audio features from REAL decoded samples: RMS, zero-crossing rate,
     * mean, peak, then a (dim-4)-bin absolute-amplitude histogram.
     */

@@ -456,4 +456,44 @@ class MediaCodecsSpec extends SparkSpec {
     assert(rootCause(e).isInstanceOf[graft.MediaDecodeFailed],
       s"root cause was ${rootCause(e).getClass}")
   }
+
+  test("perceptual dHash: re-encode/resize variants pair, distinct images don't") {
+    import graft.ops.{MediaCodecs, Multimodal}
+    import graft.ops.Multimodal.MediaRow
+    import spark.implicits._
+    // A smooth horizontal-gradient scene: structure survives JPEG
+    // quantization and downscaling.
+    def scene(w: Int, h: Int)(x: Int, y: Int): (Int, Int, Int) = {
+      val g = 255 * x / math.max(1, w - 1)
+      val b = 255 * y / math.max(1, h - 1)
+      (g, (g + b) / 2, b)
+    }
+    // A structurally different scene (vertical bands).
+    def other(w: Int, h: Int)(x: Int, y: Int): (Int, Int, Int) = {
+      val v = if ((x / 8) % 2 == 0) 230 else 20
+      (v, 255 - v, v / 2)
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", MediaCodecs.encodeBmp(64, 48, scene(64, 48)), 64, 48, 0, 0),
+      MediaRow(2L, "jpeg", MediaCodecs.encodeImageIO("jpg", 64, 48, scene(64, 48)), 64, 48, 0, 0),
+      MediaRow(3L, "png", MediaCodecs.encodeImageIO("png", 32, 24, scene(32, 24)), 32, 24, 0, 0),
+      MediaRow(4L, "image", MediaCodecs.encodeBmp(64, 48, other(64, 48)), 64, 48, 0, 0),
+      MediaRow(5L, "image", Array[Byte](1, 2, 3), 0, 0, 0, 0) // corrupt: quarantines out
+    )
+    val ds = spark.createDataset(rows)
+    val hashes = Multimodal.imageDHashes(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L, 4L), s"corrupt row must drop: $hashes")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(2L)) <= 6, "JPEG re-encode drifted too far")
+    assert(ham(hashes(1L), hashes(3L)) <= 6, "downscaled PNG drifted too far")
+    assert(ham(hashes(1L), hashes(4L)) > 6, "distinct scenes must not pair")
+
+    val pairs = Multimodal.imageNearDupPairs(ds, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)), s"variant cluster incomplete: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"distinct image paired: $pairs")
+  }
 }
