@@ -356,6 +356,15 @@ object SparkEntry {
       ops.TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
         .select(col("id"), col("sketch_size"))),
     "multimodal_summary" -> ((s, _) => ops.Multimodal.summary(s)),
+    "multimodal_image_neardup" -> ((s, _) => {
+      // Perceptual-dHash image near-dup over synthesized containers (no
+      // SQL oracle possible — engine-generated payloads; MediaCodecsSpec
+      // carries the exact planted-variant assertions). Rows-only check:
+      // every synthesized image yields a hash row.
+      val media = ops.Multimodal.synthesize(s, seed = 77L, n = 120L)
+      ops.Multimodal.imageDHashes(media)
+        .withColumn("dhash_hex", hex(col("h")))
+    }),
 
     // ---- KG pipeline stages on the synthesized pages table (rows-only) ---
     "kg_extract" -> ((s, _) => {
