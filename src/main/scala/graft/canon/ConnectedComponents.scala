@@ -83,12 +83,12 @@ object ConnectedComponents {
                       localByteBudget: Long = 256L << 20): (DataFrame, Boolean) = {
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    // ONE gate job measures rows AND bytes (the row count alone is only an
-    // ESTIMATE of driver memory — adversarially long ids can blow the heap
-    // at a legal row count). Deliberately not a streamed per-partition
-    // meter: toLocalIterator schedules one serial job per partition
-    // (measured ~0.4 s of 5 ms jobs at 32 partitions), while this agg is
-    // one distributed pass over the same data.
+    // ONE gate job measures rows AND id characters (the row count alone is
+    // only an ESTIMATE of driver memory — adversarially long ids can blow
+    // the heap at a legal row count). Deliberately not a streamed
+    // per-partition meter: toLocalIterator schedules one serial job per
+    // partition (measured ~0.4 s of 5 ms jobs at 32 partitions), while
+    // this agg is one distributed pass over the same data.
     val gate = e.agg(count(lit(1)),
       coalesce(sum(length(col("src")) + length(col("dst"))), lit(0L))).head()
     if (gate.getLong(0) <= localThreshold) {
@@ -96,7 +96,8 @@ object ConnectedComponents {
       // RUNTIME support failure, graph_loader.rs:213-238): on a measured
       // budget overflow the SAME edge set re-plans onto the distributed
       // path instead of dying in the driver.
-      try (componentsLocal(e, localByteBudget, Some(gate.getLong(1))), true)
+      try (componentsLocal(e, localByteBudget,
+        Some(heapEstimate(gate.getLong(0), gate.getLong(1)))), true)
       catch {
         case ex: graft.LocalPlanOverBudget =>
           System.err.println(
@@ -106,8 +107,20 @@ object ConnectedComponents {
     } else (componentsDistributed(e, maxIter), false)
   }
 
+  /** Estimated JVM HEAP cost of collecting `rows` edges totalling `chars`
+    * id characters: Strings store UTF-16 (2 B/char measured by length())
+    * plus per-edge fixed overhead — two String headers (~48 B each), the
+    * tuple (~24 B), the array slot, and the union-find map entries
+    * (~100 B) ≈ 240 B/edge. length() counts chars, not octets, so the 2×
+    * is the right UTF-16 multiplier regardless of the UTF-8 width. The
+    * budget gates this ESTIMATE, not the raw character count — a 256 MB
+    * budget therefore means roughly 256 MB of heap, not 1-1.5 GB.
+    */
+  private def heapEstimate(rows: Long, chars: Long): Long =
+    chars * 2 + rows * 240
+
   /** Driver-side union-find for small graphs (single collect). The collect
-    * is budget-gated: the measured id-byte volume (passed down from
+    * is budget-gated: the estimated heap cost (passed down from
     * [[componentsSized]]'s gate job, or measured here for direct callers)
     * crossing `byteBudget` aborts with the typed
     * [[graft.LocalPlanOverBudget]] BEFORE the driver heap is at risk —
@@ -119,9 +132,12 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
     if (byteBudget != Long.MaxValue) {
-      val bytes = knownBytes.getOrElse(
-        edges.agg(coalesce(sum(length(col("src")) + length(col("dst"))),
-          lit(0L))).head().getLong(0))
+      val bytes = knownBytes.getOrElse {
+        val g = edges.agg(count(lit(1)),
+          coalesce(sum(length(col("src")) + length(col("dst"))),
+            lit(0L))).head()
+        heapEstimate(g.getLong(0), g.getLong(1))
+      }
       if (bytes > byteBudget)
         throw new graft.LocalPlanOverBudget("cc local union-find", bytes, byteBudget)
     }

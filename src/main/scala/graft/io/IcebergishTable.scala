@@ -2376,6 +2376,37 @@ object IcebergishTable {
     filerowsFromJson(json, table, snapshot).map(_.toMap)
   }
 
+  /** Everything a metadata-aggregation decision needs from ONE manifest
+    * read: live files, per-file row counts (None if untracked), delete
+    * files, ghost names, and per-file column stats (empty if absent/
+    * misaligned). The aggregate planning path runs per query — five
+    * separate accessor calls would re-read and re-parse the same
+    * (potentially multi-MB) manifest five times.
+    */
+  final case class SnapshotAggMeta(files: Seq[String],
+                                   fileRows: Option[Map[String, Long]],
+                                   deleteFiles: Seq[String],
+                                   ghosts: Seq[String],
+                                   colStats: Map[String, Map[String, (String, String)]])
+
+  def snapshotAggMeta(table: String, snapshot: Int): Option[SnapshotAggMeta] = {
+    val m = dir(table).resolve(s"snap-$snapshot.json")
+    if (!Files.exists(m)) return None
+    val json = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    val files =
+      try manifestFilesStrict(table, snapshot, json)
+      catch { case _: graft.GraftError => return None }
+    val stats: Map[String, Map[String, (String, String)]] =
+      ManifestStats.rawEntries(json) match {
+        case Some(entries) if entries.length == files.length =>
+          files.zip(entries.map(ManifestStats.parseEntry)).toMap
+        case _ => Map.empty
+      }
+    Some(SnapshotAggMeta(files,
+      filerowsFromJson(json, table, snapshot).map(_.toMap),
+      deletesFromJson(json), ghostsFromJson(json), stats))
+  }
+
   /** (file → data sequence number) of a snapshot: the snapshot id that
     * added each file. Files from pre-seq manifests map to 0.
     */

@@ -149,9 +149,20 @@ object ManifestStats {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     c.getPrimitiveType.getPrimitiveTypeName match {
       case INT32 | INT64 =>
-        // Decimal-annotated ints would need scale handling — skip them.
-        if (ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]) None
-        else Some((st.genericGetMin.toString, st.genericGetMax.toString))
+        ann match {
+          // Decimal-annotated ints would need scale handling — skip them.
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+          // Timestamp bounds are only usable when the file's unit is the
+          // one Spark's internal representation (and our comparators/
+          // decoders) assume: MICROS. A TIMESTAMP_MILLIS-written file's
+          // bounds fed into the micros-based compare would mis-prune
+          // scans and, worse, let metadata MIN/MAX return values 1000×
+          // off — record nothing and both paths stay conservative.
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS => None
+          case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => None
+          case _ => Some((st.genericGetMin.toString, st.genericGetMax.toString))
+        }
       case FLOAT | DOUBLE =>
         val mn = st.genericGetMin.toString.toDouble
         val mx = st.genericGetMax.toString.toDouble

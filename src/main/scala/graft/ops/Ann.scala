@@ -235,8 +235,19 @@ object Ann {
         else b +: Array.tabulate(nb)(i => b ^ (1 << i))
       bs.map(pb => (id, vec, pb))
     }.toDF("query_id", "qv", "bucket")
-    val index = spark.read.parquet(indexPath)
-    val joined = index.join(probes, Seq("bucket"))
+    probeTopK(spark.read.parquet(indexPath), probes, "bucket", k, excludeSelf)
+  }
+
+  /** Shared tail of both batch joins ([[knnJoin]], [[ivfKnnJoin]]): ONE
+    * equi-join of the index against the probe rows, exact cosine, windowed
+    * per-query top-k (query_id partitions are high-cardinality; Spark's
+    * WindowGroupLimit keeps the partial top-k map-side). One definition so
+    * tie-breaks/rounding can never drift between the two index families —
+    * both answer to the same per-query brute-force oracle.
+    */
+  private def probeTopK(index: DataFrame, probes: DataFrame, joinKey: String,
+                        k: Int, excludeSelf: Boolean): DataFrame = {
+    val joined = index.join(probes, Seq(joinKey))
     val cand = if (excludeSelf) joined.where(col("id") =!= col("query_id"))
                else joined
     val w = org.apache.spark.sql.expressions.Window
@@ -252,10 +263,13 @@ object Ann {
 
   // ---- IVF (inverted-file) ANN: centroid-pruned probe ---------------------
 
-  private def nearestCell(vec: Array[Double],
-                          cents: Array[Array[Double]]): Int = {
-    var best = 0
-    var bestDot = Double.NegativeInfinity
+  /** Cells ranked by centroid·vec, best first, truncated to nProbe — the
+    * ONE centroid dot-product used by assignment ([[nearestCell]]) and
+    * probe selection ([[ivfKnnJoin]], [[ivfTopK]]) alike.
+    */
+  private def rankCells(vec: Array[Double], cents: Array[Array[Double]],
+                        nProbe: Int): Array[Int] = {
+    val scored = new Array[Double](cents.length)
     var c = 0
     while (c < cents.length) {
       var s = 0.0
@@ -263,11 +277,15 @@ object Ann {
       val n = math.min(cv.length, vec.length)
       var d = 0
       while (d < n) { s += cv(d) * vec(d); d += 1 }
-      if (s > bestDot) { bestDot = s; best = c }
+      scored(c) = s
       c += 1
     }
-    best
+    scored.indices.toArray.sortBy(i => -scored(i)).take(nProbe)
   }
+
+  private def nearestCell(vec: Array[Double],
+                          cents: Array[Array[Double]]): Int =
+    rankCells(vec, cents, 1)(0)
 
   private def renorm(a: Array[Double]): Array[Double] = {
     var s = 0.0
@@ -392,29 +410,9 @@ object Ann {
     val np = if (fullProbe) cents.length else math.min(nProbe, cents.length)
     val probes = normalized(queries, idCol, vecCol).as[(Long, Seq[Double])]
       .flatMap { case (id, vec) =>
-        val a = vec.toArray
-        val ranked = bc.value.zipWithIndex.map { case (c, i) =>
-          var s = 0.0
-          val n = math.min(c.length, a.length)
-          var d = 0
-          while (d < n) { s += c(d) * a(d); d += 1 }
-          (i, s)
-        }.sortBy(-_._2).take(np).map(_._1)
-        ranked.map(cell => (id, vec, cell))
+        Ann.rankCells(vec.toArray, bc.value, np).map(cell => (id, vec, cell))
       }.toDF("query_id", "qv", "cell")
-    val index = spark.read.parquet(indexPath)
-    val joined = index.join(probes, Seq("cell"))
-    val cand = if (excludeSelf) joined.where(col("id") =!= col("query_id"))
-               else joined
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    cand
-      .withColumn("cosine", round(dot(col("v"), col("qv")), 4))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("id").as("vec_id"), col("cosine"),
-        col("rank"))
+    probeTopK(spark.read.parquet(indexPath), probes, "cell", k, excludeSelf)
   }
 
   /** Embedding near-dup pairs at scale: vectors meeting `minCosine` tend

@@ -28,13 +28,15 @@ object Dedup {
     * families AND the length agreeing is the standard content-addressing
     * identity assumption (git objects, dedup stores: collision odds
     * < 2^-190 per pair); any xxhash64-only collision is handled exactly —
-    * the md5/length columns split the group. Same result, same oracle,
-    * ~1000× less shuffle on web text.
+    * the md5/length columns split the group. The md5 ships as its 16 raw
+    * bytes (unhex), not the 32-char hex string — the hex form would be
+    * the largest component of the very shuffle this operator exists to
+    * shrink. Same result, same oracle, ~1000× less shuffle on web text.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("__id"),
         xxhash64(col(textCol)).as("__h"),
-        md5(col(textCol)).as("__m"),
+        unhex(md5(col(textCol))).as("__m"),
         length(col(textCol)).as("__len"))
       .groupBy(col("__h"), col("__m"), col("__len"))
       .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -122,6 +124,16 @@ object Dedup {
   def resolveGroups(pairs: DataFrame, docs: DataFrame,
                     idCol: String): DataFrame = {
     def pad(c: Column): Column = lpad(c.cast("string"), 20, "0")
+    // LOUD non-negative guard (one tiny agg over the pair set, which is
+    // corpus-small): a negative id's zero-padded form ("0…0-5") sorts
+    // AFTER every positive id, silently breaking the string-min ==
+    // numeric-min mapping — fail like bucketOf's ragged guard instead.
+    val minId = pairs.agg(least(
+      min(col(pairs.columns.head).cast("long")),
+      min(col(pairs.columns(1)).cast("long")))).head()
+    require(minId.isNullAt(0) || minId.getLong(0) >= 0L,
+      s"resolveGroups requires non-negative ids (saw ${minId.getLong(0)}): " +
+        "zero-padded ordering would mis-rank negatives")
     val edges = pairs.select(pad(col(pairs.columns.head)).as("src"),
       pad(col(pairs.columns(1))).as("dst"))
     val comp = graft.canon.ConnectedComponents.components(edges)
@@ -140,21 +152,49 @@ object Dedup {
     * at jaccard 0.5 is missed with probability (1-0.25)^64 ≈ 1e-8, so at
     * verification threshold ≥0.5 the output matches the exact variant.
     */
+  /** The MinHash sketch frame ("id", "sh", "bandKeys") — ONE definition of
+    * the shingle→minhash→band pipeline, shared by [[minhashLshPairs]] and
+    * [[IncrementalDedup]] so the incremental operator's batch-union ≡
+    * single-shot invariant can never drift from a one-sided tweak. Ships
+    * 64-bit shingle fingerprints, not the strings: the verify join is the
+    * heaviest shuffle at web scale and jaccard over the fingerprint sets
+    * is identical up to 64-bit collisions.
+    */
+  private[ops] def minhashSignatureFrame(df: DataFrame, idCol: String,
+                                         textCol: String, w: Int,
+                                         numHashes: Int,
+                                         rowsPerBand: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = Signatures.shingles(text, w)
+        (id, Signatures.shingleHashes(sh),
+          Signatures.bandKeys(Signatures.minhash(sh, numHashes), rowsPerBand))
+      }.toDF("id", "sh", "bandKeys")
+  }
+
+  /** Exact-jaccard verification of candidate pairs against the fingerprint
+    * sets — the other shared half of the MinHash pipeline (see
+    * [[minhashSignatureFrame]]). `cand` = ("ia", "ib"); `sh` = ("id", "sh").
+    */
+  private[ops] def jaccardVerify(cand: DataFrame, sh: DataFrame,
+                                 minJaccard: Double): DataFrame =
+    cand
+      .join(sh.toDF("ia", "sha"), Seq("ia"))
+      .join(sh.toDF("ib", "shb"), Seq("ib"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"), 4))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("ia"), col("ib"), col("jaccard"))
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       w: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 2,
                       minJaccard: Double = 0.5): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-    val sigs = docs.map { case (id, text) =>
-      val sh = Signatures.shingles(text, w)
-      val keys = Signatures.bandKeys(Signatures.minhash(sh, numHashes), rowsPerBand)
-      // Ship 64-bit shingle fingerprints, not the strings: the verify join
-      // below is the heaviest shuffle at web scale and jaccard over the
-      // fingerprint sets is identical up to 64-bit collisions.
-      (id, Signatures.shingleHashes(sh), keys)
-    }.toDF("id", "sh", "bandKeys")
+    val sigs = minhashSignatureFrame(df, idCol, textCol, w, numHashes, rowsPerBand)
       // Consumed three times (band buckets + both sides of the verify
       // join): persist so the text scan + 128 minhashes per doc run ONCE.
       // MEMORY_AND_DISK: signatures spill rather than recompute at scale.
@@ -168,16 +208,7 @@ object Dedup {
       .select(col("ia"), col("ib"))
       .distinct()
 
-    // Verify candidates exactly with array_intersect on the shingle sets.
-    val shA = sigs.select(col("id").as("ia"), col("sh").as("sha"))
-    val shB = sigs.select(col("id").as("ib"), col("sh").as("shb"))
-    val out = cand.join(shA, Seq("ia")).join(shB, Seq("ib"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", round(
-        col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"), 4))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("ia"), col("ib"), col("jaccard"))
+    val out = jaccardVerify(cand, sigs.select(col("id"), col("sh")), minJaccard)
     // Materialize the (small) pair set eagerly, then free the signature
     // cache — returning the lazy plan would recompute sigs after unpersist.
     val materialized = out.localCheckpoint()

@@ -52,17 +52,11 @@ object IncrementalDedup {
                    minJaccard: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val nh = numHashes
-    val rb = rowsPerBand
-    val ww = w
-    val newSigs = batch
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val sh = Signatures.shingles(text, ww)
-        (id, Signatures.shingleHashes(sh),
-          Signatures.bandKeys(Signatures.minhash(sh, nh), rb))
-      }.toDF("id", "sh", "bandKeys")
+    // Shared sketch pipeline (Dedup.minhashSignatureFrame): the batch-union
+    // ≡ single-shot invariant depends on the sketch being literally the
+    // same code as minhashLshPairs', not a copy.
+    val newSigs = Dedup.minhashSignatureFrame(batch, idCol, textCol,
+      w, numHashes, rowsPerBand)
 
     val hasState = IcebergishTable.currentSnapshot(stateTable) >= 0
     val oldSigs =
@@ -96,15 +90,9 @@ object IncrementalDedup {
 
     val allSh = fresh.select(col("id"), col("sh"))
       .union(oldSigs.select(col("id"), col("sh")))
-    val out = cand
-      .join(allSh.toDF("ia", "sha"), Seq("ia"))
-      .join(allSh.toDF("ib", "shb"), Seq("ib"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", round(
-        col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"), 4))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("ia"), col("ib"), col("jaccard"))
+    // Shared verify (Dedup.jaccardVerify) — same rounding/threshold code
+    // path as the single-shot operator, same oracle.
+    val out = Dedup.jaccardVerify(cand, allSh, minJaccard)
     // Materialize pairs BEFORE the state append: the returned frame must
     // not lazily recompute against a state that now contains this batch
     // (every fresh id would self-candidate against its committed copy).

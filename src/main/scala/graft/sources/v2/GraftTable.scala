@@ -217,23 +217,8 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
     * every bucket (VERDICT r2 finding #3).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (partFilters, rest) = filters.partition {
-      case EqualTo(c, _: Int) => c == IcebergishTable.PartCol
-      case EqualNullSafe(c, _: Int) => c == IcebergishTable.PartCol
-      case In(c, vs) =>
-        c == IcebergishTable.PartCol && vs.nonEmpty &&
-          vs.forall(_.isInstanceOf[Int])
-      case _ => false
-    }
-    if (partFilters.nonEmpty) {
-      val keep = partFilters.map {
-        case EqualTo(_, v: Int) => Set(v)
-        case EqualNullSafe(_, v: Int) => Set(v)
-        case In(_, vs) => vs.collect { case v: Int => v }.toSet
-        case _ => Set.empty[Int] // unreachable: partition() above is typed
-      }.reduce(_ intersect _)
-      prunedBuckets = Some(keep)
-    }
+    val (partFilters, rest) = filters.partition(PartFilters.isPartFilter)
+    PartFilters.bucketsOf(partFilters).foreach(keep => prunedBuckets = Some(keep))
     dataFilters = rest
     rest
   }
@@ -277,17 +262,17 @@ final class GraftScanBuilder(path: String, tableSchema: StructType,
     if (dataFilters.nonEmpty) return None
     val snap = pinnedSnap
     if (snap < 0) return None
-    if (IcebergishTable.snapshotDeleteFiles(path, snap).nonEmpty) return None
-    val rowsByFile = IcebergishTable.snapshotFileRows(path, snap)
-      .getOrElse(return None)
-    val live = IcebergishTable.snapshotFilesOpt(path, snap)
-      .getOrElse(return None)
+    // ONE manifest read feeds every exactness check below.
+    val meta = IcebergishTable.snapshotAggMeta(path, snap).getOrElse(return None)
+    if (meta.deleteFiles.nonEmpty) return None
+    val rowsByFile = meta.fileRows.getOrElse(return None)
+    val live = meta.files
       .filter(f => prunedBuckets.forall(_.contains(
         IcebergishTable.bucketOfPath(f))))
     val rows = live.map(f => rowsByFile.getOrElse(f, -1L))
     if (rows.exists(_ < 0)) return None
-    val ghosts = IcebergishTable.snapshotGhostNames(path, snap).toSet
-    lazy val statsMap = graft.io.ManifestStats.fileStatsOf(path, snap)
+    val ghosts = meta.ghosts.toSet
+    val statsMap = meta.colStats
 
     def bound(colName: String, wantMin: Boolean): Option[Option[Any]] = {
       // Outer None = refuse pushdown; inner None = SQL NULL (no rows).
@@ -383,6 +368,36 @@ final class GraftMetaAggScan(schema: StructType, values: Array[Any])
     }
 }
 
+/** ONE definition of "a typed part-column filter" and its exact bucket
+  * set, shared by the builder's pushdown (plan time) and the scan's
+  * runtime filtering — two hand-rolled copies drifted once before
+  * (VERDICT r2 #3: an untyped value consumed as `Set.empty` silently
+  * pruned every bucket), so the shape lives in one place. A filter only
+  * counts when its value(s) actually ARE Ints — the part column's storage
+  * type; anything else stays residual (slow-but-correct).
+  */
+private[v2] object PartFilters {
+  def isPartFilter(f: Filter): Boolean = f match {
+    case EqualTo(c, _: Int) => c == IcebergishTable.PartCol
+    case EqualNullSafe(c, _: Int) => c == IcebergishTable.PartCol
+    case In(c, vs) =>
+      c == IcebergishTable.PartCol && vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[Int])
+    case _ => false
+  }
+
+  /** Intersection of all part filters' bucket sets; None = no constraint. */
+  def bucketsOf(filters: Array[Filter]): Option[Set[Int]] = {
+    val sets = filters.filter(isPartFilter).map {
+      case EqualTo(_, v: Int) => Set(v)
+      case EqualNullSafe(_, v: Int) => Set(v)
+      case In(_, vs) => vs.collect { case v: Int => v }.toSet
+      case _ => Set.empty[Int] // unreachable: isPartFilter is typed
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+}
+
 /** A bucket's worth of files, keyed for storage-partitioned joins.
   * `deletes` (aligned with `files`; empty array = none) carries each
   * file's merge-on-read position-delete ordinals, sorted ascending — the
@@ -439,14 +454,8 @@ final class GraftScan(path: String, dataSchema: StructType,
     if (needsPart) Array(Expressions.column(IcebergishTable.PartCol))
     else Array.empty
 
-  override def filter(filters: Array[Filter]): Unit = {
-    val keep = filters.collect {
-      case EqualTo(c, v: Int) if c == IcebergishTable.PartCol => Set(v)
-      case In(c, vs) if c == IcebergishTable.PartCol =>
-        vs.collect { case v: Int => v }.toSet
-    }
-    if (keep.nonEmpty) runtimeBuckets = Some(keep.reduce(_ intersect _))
-  }
+  override def filter(filters: Array[Filter]): Unit =
+    PartFilters.bucketsOf(filters).foreach(keep => runtimeBuckets = Some(keep))
 
   private val needsPart =
     requiredSchema.fieldNames.contains(IcebergishTable.PartCol)
