@@ -120,6 +120,35 @@ class MetaAggSpec extends SparkSpec {
     assert(still.head().getLong(0) == 199L)
   }
 
+  test("TIMESTAMP_MILLIS-written files refuse metadata MIN/MAX (unit guard) but COUNT still pushes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-metaagg-ms").toString
+    val t = s"$dir/t"
+    val saved = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      IcebergishTable.write(
+        spark.range(0, 100).select(col("id").cast("string").as("k"),
+          to_timestamp(lit("2026-01-02 03:04:05")).plus(
+            expr("make_interval(0, 0, 0, 0, 0, 0, id)")).as("ts")),
+        t, "k", 4)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", saved)
+    spark.conf.set("spark.sql.catalog.graft_ms",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ms.warehouse", dir)
+    // MIN over a millis-unit column must NOT answer from the manifest —
+    // the micros-based decode would return a value 1000x off; the guard
+    // records no bounds for the column, so the real scan runs and the
+    // answer is exact.
+    val mn = spark.sql("SELECT min(ts) AS mn FROM graft_ms.t")
+    assert(!plan(mn).contains("GraftMetaAggScan"), plan(mn))
+    assert(mn.head().getTimestamp(0).toString.startsWith("2026-01-02 03:04:05"))
+    // COUNT(*) doesn't touch the bounds — still metadata-only.
+    val n = spark.sql("SELECT count(*) AS n FROM graft_ms.t")
+    assert(plan(n).contains("GraftMetaAggScan"), plan(n))
+    assert(n.head().getLong(0) == 100L)
+  }
+
   test("snapshot time travel aggregates the pinned state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-metaagg-tt").toString
