@@ -149,6 +149,26 @@ class MetaAggSpec extends SparkSpec {
     assert(n.head().getLong(0) == 100L)
   }
 
+  test("metadata aggregation survives partition-spec evolution (rebucket)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-metaagg-rb").toString
+    val t = s"$dir/t"
+    IcebergishTable.write(
+      spark.range(0, 300).select(col("id").cast("string").as("k"), col("id").as("v")),
+      t, "k", 4)
+    // Rebucket = replace-all rewrite under a new (key, count): every file
+    // is fresh, so filerows/colstats are re-recorded and the metadata
+    // path must answer exactly over the NEW layout.
+    IcebergishTable.rebucket(spark, t, "k", 8)
+    spark.conf.set("spark.sql.catalog.graft_rb",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rb.warehouse", dir)
+    val agg = spark.sql("SELECT count(*) AS n, min(v) AS mn, max(v) AS mx FROM graft_rb.t")
+    assert(plan(agg).contains("GraftMetaAggScan"), plan(agg))
+    assert((agg.head().getLong(0), agg.head().getLong(1), agg.head().getLong(2)) ==
+      ((300L, 0L, 299L)))
+  }
+
   test("snapshot time travel aggregates the pinned state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-metaagg-tt").toString
