@@ -210,6 +210,63 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF batch pruned recall too low: $recall")
   }
 
+  test("streaming incremental dedup: pairs table equals single-shot; crash windows converge") {
+    val spark0 = spark
+    import spark0.implicits._
+    def doc(i: Long): String =
+      (0 until 30).map(k => s"w${Rng.nextInt(37L, i, k.toLong, 50)}").mkString(" ")
+    val texts = (0L until 20L).map(i => (i, doc(i))) ++
+      (20L until 30L).map(i => (i, doc(i - 20) + " tail"))
+    val corpus = texts.toDF("doc_id", "text")
+    val full = graft.ops.Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty)
+
+    // Three batch files → three micro-batches (maxFilesPerTrigger=1).
+    val base = java.nio.file.Files.createTempDirectory("graft-incstream")
+    val streamDir = s"$base/in"
+    (0 until 3).foreach(i =>
+      corpus.where(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+        .write.mode("append").parquet(streamDir))
+    val state = s"$base/sigs"
+    val pairsT = s"$base/pairs"
+    val docsStream = spark.readStream
+      .schema(corpus.schema).option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val q = graft.ops.IncrementalDedup.streamIntoTables(docsStream,
+      "doc_id", "text", state, pairsT, s"$base/ckpt")
+    q.awaitTermination()
+    def pairsNow(): Seq[(Long, Long)] =
+      graft.io.IcebergishTable.read(spark, pairsT)
+        .select(col("ia"), col("ib")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairsNow().toSet == full,
+      s"streamed pairs diverged: ${pairsNow().toSet} vs $full")
+    assert(pairsNow().size == full.size, "duplicate pair rows")
+
+    // Replay a completed batch: both tables unchanged.
+    val stateSnap = graft.io.IcebergishTable.currentSnapshot(state)
+    val pairsSnap = graft.io.IcebergishTable.currentSnapshot(pairsT)
+    graft.ops.IncrementalDedup.appendBatch(
+      corpus.where(pmod(col("doc_id"), lit(3)) === 1),
+      "doc_id", "text", state, pairsT)
+    assert(graft.io.IcebergishTable.currentSnapshot(state) == stateSnap)
+    assert(graft.io.IcebergishTable.currentSnapshot(pairsT) == pairsSnap)
+
+    // Crash window: pairs appended, state commit lost. Recreate it by
+    // rolling the STATE table back to before the last batch, leaving the
+    // pairs table at its post-batch snapshot — then re-run the batch.
+    // Convergence = same final tables as the no-crash run.
+    val lastBatch = corpus.where(pmod(col("doc_id"), lit(3)) === 2)
+    graft.io.IcebergishTable.rollbackTo(state, stateSnap - 1)
+    graft.ops.IncrementalDedup.appendBatch(lastBatch,
+      "doc_id", "text", state, pairsT)
+    assert(pairsNow().toSet == full, "crash replay diverged")
+    assert(pairsNow().size == full.size, "crash replay duplicated pairs")
+    val stateIds = graft.io.IcebergishTable.read(spark, state)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(stateIds == (0L until 30L).toSet, s"state ids wrong: $stateIds")
+  }
+
   test("resolveGroups: transitive pair chains become min-id groups; singletons survive") {
     val spark0 = spark
     import spark0.implicits._
