@@ -36,6 +36,18 @@ import graft.io.IcebergishTable
   */
 object IncrementalDedup {
 
+  // ONE definition of every tuning default, shared by the three entry
+  // points below: replay convergence (a crash-window re-run computing the
+  // IDENTICAL pair set) depends on the replayer using the same sketch
+  // parameters as the original run — per-signature duplicated defaults
+  // could drift one-sidedly and silently break that invariant.
+  private val DefaultStateBuckets = 16
+  private val DefaultPairsBuckets = 4
+  private val DefaultW = 3
+  private val DefaultNumHashes = 128
+  private val DefaultRowsPerBand = 2
+  private val DefaultMinJaccard = 0.5
+
   /** Process one batch; returns the verified near-dup pairs this batch
     * adds: (ia, ib, jaccard) with ia < ib, at least one side new.
     *
@@ -47,9 +59,10 @@ object IncrementalDedup {
     * append cycle to be serialized by the caller.
     */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
-                   stateTable: String, stateBuckets: Int = 16,
-                   w: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 2,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   stateTable: String, stateBuckets: Int = DefaultStateBuckets,
+                   w: Int = DefaultW, numHashes: Int = DefaultNumHashes,
+                   rowsPerBand: Int = DefaultRowsPerBand,
+                   minJaccard: Double = DefaultMinJaccard): DataFrame = {
     val (pairs, fresh, hasState) = computeBatch(batch, idCol, textCol,
       stateTable, w, numHashes, rowsPerBand, minJaccard)
     commitState(fresh, stateTable, stateBuckets, hasState)
@@ -142,10 +155,14 @@ object IncrementalDedup {
     */
   def streamIntoTables(docs: DataFrame, idCol: String, textCol: String,
                        stateTable: String, pairsTable: String,
-                       checkpointDir: String, stateBuckets: Int = 16,
-                       pairsBuckets: Int = 4, w: Int = 3,
-                       numHashes: Int = 128, rowsPerBand: Int = 2,
-                       minJaccard: Double = 0.5)
+                       checkpointDir: String,
+                       stateBuckets: Int = DefaultStateBuckets,
+                       pairsBuckets: Int = DefaultPairsBuckets,
+                       w: Int = DefaultW, numHashes: Int = DefaultNumHashes,
+                       rowsPerBand: Int = DefaultRowsPerBand,
+                       minJaccard: Double = DefaultMinJaccard,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -153,7 +170,7 @@ object IncrementalDedup {
         appendBatch(batch, idCol, textCol, stateTable, pairsTable,
           stateBuckets, pairsBuckets, w, numHashes, rowsPerBand, minJaccard)
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** The per-micro-batch unit of [[streamIntoTables]] (also the replay
@@ -162,27 +179,51 @@ object IncrementalDedup {
     */
   private[graft] def appendBatch(batch: DataFrame, idCol: String,
                                  textCol: String, stateTable: String,
-                                 pairsTable: String, stateBuckets: Int = 16,
-                                 pairsBuckets: Int = 4, w: Int = 3,
-                                 numHashes: Int = 128, rowsPerBand: Int = 2,
-                                 minJaccard: Double = 0.5): Unit = {
+                                 pairsTable: String,
+                                 stateBuckets: Int = DefaultStateBuckets,
+                                 pairsBuckets: Int = DefaultPairsBuckets,
+                                 w: Int = DefaultW,
+                                 numHashes: Int = DefaultNumHashes,
+                                 rowsPerBand: Int = DefaultRowsPerBand,
+                                 minJaccard: Double = DefaultMinJaccard): Unit = {
     val spark = batch.sparkSession
     val (pairs, fresh, hasState) = computeBatch(batch, idCol, textCol,
       stateTable, w, numHashes, rowsPerBand, minJaccard)
-    val newPairs =
-      if (IcebergishTable.currentSnapshot(pairsTable) >= 0) {
-        val existing = IcebergishTable.read(spark, pairsTable)
-          .select(col("ia"), col("ib"))
-        val np = pairs.join(existing, Seq("ia", "ib"), "left_anti")
-        if (np.limit(1).count() > 0)
-          Some((np, SaveMode.Append))
+    try {
+      val newPairs =
+        if (IcebergishTable.currentSnapshot(pairsTable) >= 0) {
+          // Replay-protection anti-join reads ONLY the pairs-table buckets
+          // this batch's pairs land in (both sides keyed on ia — the
+          // StreamingKg cross-batch pattern): per-batch cost stays bounded
+          // by the batch, not by the table's history. The candidate set is
+          // ALSO materialized once (localCheckpoint) so the probe and the
+          // write don't re-execute the join.
+          val batchParts = pairs
+            .select(IcebergishTable.partExpr("ia", pairsBuckets).as("p"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val existing = IcebergishTable.read(spark, pairsTable)
+            .where(col(IcebergishTable.PartCol).isin(batchParts: _*))
+            .select(col("ia"), col("ib"))
+          val np = pairs.join(existing, Seq("ia", "ib"), "left_anti")
+            .localCheckpoint()
+          if (np.limit(1).count() > 0) Some((np, SaveMode.Append)) else None
+        } else if (pairs.limit(1).count() > 0)
+          Some((pairs, SaveMode.Overwrite))
         else None
-      } else if (pairs.limit(1).count() > 0)
-        Some((pairs, SaveMode.Overwrite))
-      else None
-    newPairs.foreach { case (np, mode) =>
-      IcebergishTable.write(np, pairsTable, "ia", pairsBuckets, mode)
+      newPairs.foreach { case (np, mode) =>
+        IcebergishTable.write(np, pairsTable, "ia", pairsBuckets, mode)
+      }
+      // Deliberately INSIDE the try: if the pairs write threw, committing
+      // the signatures would make the replay emit nothing and lose the
+      // batch's pairs forever — the state commit must only follow a
+      // successful pairs append.
+      commitState(fresh, stateTable, stateBuckets, hasState)
+    } finally {
+      // commitState unpersists fresh on success (idempotent); the failure
+      // path and the batch-local pairs checkpoint are freed here so a
+      // long-running stream's failed attempts can't accumulate blocks.
+      fresh.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
     }
-    commitState(fresh, stateTable, stateBuckets, hasState)
   }
 }
