@@ -49,8 +49,9 @@ object ManifestStats {
   private def eligibleName(n: String): Boolean =
     n.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") &&
       !Set("schema", "files", "sizes", "seqs", "colstats", "deletes",
-        "delseqs", "epochs", "partitions", "snapshot", "rows", "maxfid",
-        "bucket_key", "buckets", "bucket_fn").contains(n)
+        "delseqs", "epochs", "partitions", "snapshot", "rows", "filerows",
+        "maxfid", "bucket_key", "buckets", "ghosts",
+        "bucket_fn").contains(n)
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
