@@ -30,13 +30,23 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val pages = PageSynth.pages(spark, 42L, 400L, 8)
-      .map(p => Page(p.url, p.warc_ts, p.html,
-        graft.extract.HtmlText.extract(p.html), p.lang))
+    val pages = kgPages(spark)
     val dict = PageSynth.aliasDictionary
-    val linked = Mentions.link(Mentions.scan(pages, dict), PageSynth.aliases(spark))
-    val cands = TripleExtract.candidates(pages, dict.map(_.alias).distinct,
-      PageSynth.relations.toMap)
+    // ONE fused pass over the pages (scanPages: extract + trie scan +
+    // candidate grammar), materialized: without the checkpoint the
+    // unshared mention/candidate subtrees re-synthesize and re-extract the
+    // corpus THREE times in the final plan (cands side + both link-join
+    // sides — measured in plans/r07/kg_triples_before.txt), and the link
+    // window runs twice. Same operators, same rows — run() uses exactly
+    // this shape and PipelineSpec proves it emits identical edges.
+    val scanned = Mentions.scanPages(pages, dict,
+      PageSynth.relations.toMap).localCheckpoint()
+    // linked is ALSO checkpointed: its two uses (subj/obj join sides)
+    // would otherwise re-run the broadcast link + tie-break window per
+    // side — measured 0.66 s vs 0.99 s for kg_triples with a lazy linked.
+    val linked = Mentions.link(scanned.flatMap(_.mentions),
+      PageSynth.aliases(spark)).localCheckpoint()
+    val cands = scanned.flatMap(_.cands)
     val canon = ConnectedComponents.components(
       PageSynth.sameAs(spark).toDF("src", "dst"))
     TripleExtract.canonicalize(
@@ -379,12 +389,15 @@ object SparkEntry {
         Mentions.scan(kgPages(s), PageSynth.aliasDictionary),
         PageSynth.aliases(s)).toDF),
     "kg_triples" -> ((s, _) => {
-      val dict = PageSynth.aliasDictionary
-      val pages = kgPages(s)
-      val linked = Mentions.link(Mentions.scan(pages, dict), PageSynth.aliases(s))
-      val cands = TripleExtract.candidates(pages, dict.map(_.alias).distinct,
-        PageSynth.relations.toMap)
-      TripleExtract.triples(cands, linked).toDF
+      import s.implicits._
+      // Fused one-pass scan + materialized link (see entry()): identical
+      // rows to the unshared scan/candidates/link composition, without
+      // re-synthesizing the corpus per plan subtree.
+      val scanned = Mentions.scanPages(kgPages(s), PageSynth.aliasDictionary,
+        PageSynth.relations.toMap).localCheckpoint()
+      val linked = Mentions.link(scanned.flatMap(_.mentions),
+        PageSynth.aliases(s)).localCheckpoint()
+      TripleExtract.triples(scanned.flatMap(_.cands), linked).toDF
     }),
     "kg_cc" -> ((s, _) => {
       import s.implicits._

@@ -132,10 +132,26 @@ object IcebergishTable {
       (if (fid) Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
        else Map.empty[String, String]) ++
       (if (shadowed) Map("spark.sql.parquet.filterPushdown" -> "false")
-       else Map.empty[String, String])
+       else Map.empty[String, String]) ++
+      // Manifest-backed reads pass EXPLICIT data-file paths — there is no
+      // directory to discover, only a per-file stat for split planning.
+      // Spark's default threshold (32 paths) launches a distributed
+      // listing JOB for that stat on any table with >32 files: measured
+      // 230 ms at ~0% occupancy per read of a 128-file table, twice per
+      // KG build. Below this bound the stats run driver-side
+      // (milliseconds on a filesystem, sub-second parallel on an object
+      // store); tables with more files than this still get the
+      // distributed listing job, which is the right plan at that size.
+      Map("spark.sql.sources.parallelPartitionDiscovery.threshold" ->
+        DriverStatThreshold.toString)
     if (confs.isEmpty) spark
     else org.apache.spark.sql.GraftColumnBridge.scopedSession(spark, confs)
   }
+
+  /** Max manifest file count stat'd driver-side at read planning; above
+    * it Spark's distributed listing job takes over (see readSession).
+    */
+  private val DriverStatThreshold = 1024
 
   /** Bucket index encoded in a table-relative data path
     * (`data/part=<k>/…`) — the ONE parser shared by batch scan planning

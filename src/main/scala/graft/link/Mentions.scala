@@ -63,11 +63,13 @@ object Mentions {
     val trieB = spark.sparkContext.broadcast(
       AliasTrie.build(aliases.map(_.alias).distinct))
     val phrasesB = spark.sparkContext.broadcast(phrases)
-    pages.map { p =>
-      val ms = scanText(p.url, p.text, trieB.value)
+    // Narrow the typed input to the two fields the closure reads — a map
+    // over Dataset[Page] would deserialize the html payload per row.
+    pages.select($"url", $"text").as[(String, String)].map { case (url, text) =>
+      val ms = scanText(url, text, trieB.value)
       val cs = graft.triples.TripleExtract
-        .allCandidates(p.url, p.text, ms, phrasesB.value)
-      PageScan(p.url, ms, cs)
+        .allCandidates(url, text, ms, phrasesB.value)
+      PageScan(url, ms, cs)
     }
   }
 
@@ -77,7 +79,8 @@ object Mentions {
     import spark.implicits._
     val trieB = spark.sparkContext.broadcast(
       AliasTrie.build(aliases.map(_.alias).distinct))
-    pages.flatMap(p => scanText(p.url, p.text, trieB.value))
+    pages.select($"url", $"text").as[(String, String)]
+      .flatMap { case (url, text) => scanText(url, text, trieB.value) }
   }
 
   /** Pre-reduced link winners: the tie-break (score desc, entity asc) is

@@ -24,13 +24,36 @@ object Ann {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  /** (id, unit-normalized double vector). Cosine becomes a plain dot. */
+  /** (id, unit-normalized double vector). Cosine becomes a plain dot.
+    *
+    * Typed narrow map, not the expression form: higher-order-function
+    * expressions are CodegenFallback, and CollapseProject inlines the norm
+    * alias into the per-element division lambda — the interpreted
+    * `sqrt(aggregate(...))` then re-evaluates once PER ELEMENT (O(dim²)
+    * per row, measured as the dominant cost of ann_brute_topk). The loop
+    * below is bit-identical IEEE arithmetic: cast-to-double widening, the
+    * same left-fold sum of squares, one sqrt, per-element division.
+    */
   def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val asDouble = transform(col(vecCol), x => x.cast("double"))
-    df.select(col(idCol).as("id"), asDouble.as("v"))
-      .withColumn("n", norm(col("v")))
-      .where(col("n") > 0)
-      .select(col("id"), transform(col("v"), x => x / col("n")).as("v"))
+    df.select(col(idCol).cast("long").as("id"), asDouble.as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.flatMap { case (id, vec) =>
+        val a = vec.toArray
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += a(i) * a(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) {
+          val out = new Array[Double](a.length)
+          i = 0
+          while (i < a.length) { out(i) = a(i) / n; i += 1 }
+          Some((id, out.toSeq))
+        } else None
+      })
+      .toDF("id", "v")
   }
 
   /** Exact top-k by cosine for one query id (brute force over all rows). */

@@ -169,9 +169,13 @@ object Dedup {
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val sh = Signatures.shingles(text, w)
-        (id, Signatures.shingleHashes(sh),
-          Signatures.bandKeys(Signatures.minhash(sh, numHashes), rowsPerBand))
+        // Hash each shingle string ONCE: the fingerprints feed both the
+        // verify column and the minhash family base (minhashFromHashes ≡
+        // minhash over the strings — see its doc).
+        val hs = Signatures.shingleHashes(Signatures.shingles(text, w))
+        (id, hs,
+          Signatures.bandKeys(
+            Signatures.minhashFromHashes(hs, numHashes), rowsPerBand))
       }.toDF("id", "sh", "bandKeys")
   }
 

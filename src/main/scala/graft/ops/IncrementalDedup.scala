@@ -189,6 +189,11 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     val (pairs, fresh, hasState) = computeBatch(batch, idCol, textCol,
       stateTable, w, numHashes, rowsPerBand, minJaccard)
+    // Tracked outside the if/else so the finally can free it: the
+    // anti-joined frame is localCheckpoint'd per micro-batch, and a
+    // long-running stream would otherwise accumulate one orphaned block
+    // set per batch (ADVICE r06 #1).
+    var np: DataFrame = null
     try {
       val newPairs =
         if (IcebergishTable.currentSnapshot(pairsTable) >= 0) {
@@ -204,7 +209,7 @@ object IncrementalDedup {
           val existing = IcebergishTable.read(spark, pairsTable)
             .where(col(IcebergishTable.PartCol).isin(batchParts: _*))
             .select(col("ia"), col("ib"))
-          val np = pairs.join(existing, Seq("ia", "ib"), "left_anti")
+          np = pairs.join(existing, Seq("ia", "ib"), "left_anti")
             .localCheckpoint()
           if (np.limit(1).count() > 0) Some((np, SaveMode.Append)) else None
         } else if (pairs.limit(1).count() > 0)
@@ -220,8 +225,10 @@ object IncrementalDedup {
       commitState(fresh, stateTable, stateBuckets, hasState)
     } finally {
       // commitState unpersists fresh on success (idempotent); the failure
-      // path and the batch-local pairs checkpoint are freed here so a
-      // long-running stream's failed attempts can't accumulate blocks.
+      // path, the batch-local pairs checkpoint, and the anti-joined np
+      // checkpoint are freed here so a long-running stream's batches (and
+      // failed attempts) can't accumulate blocks.
+      if (np != null) np.unpersist(blocking = false)
       fresh.unpersist(blocking = false)
       pairs.unpersist(blocking = false)
     }

@@ -16,9 +16,19 @@ object Signatures {
       if (text.isEmpty) Array.empty else Array(text)
     } else {
       val out = new Array[String](words.length - w + 1)
+      val sb = new java.lang.StringBuilder(64)
       var i = 0
       while (i + w <= words.length) {
-        out(i) = words.slice(i, i + w).mkString(" ")
+        // Same " "-joined shingle as slice+mkString, without the per-shingle
+        // slice array + builder churn (this runs once per word per doc).
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
         i += 1
       }
       out.distinct
@@ -41,18 +51,61 @@ object Signatures {
   def shingleHashes(shingleSet: Array[String]): Array[Long] =
     shingleSet.map(s => hashString(s, 0L)).distinct
 
+  /** Per-k salt mix(k), hoisted out of the minhash inner loop: the family
+    * h_k(x) = mix(base ^ mix(k)) re-derived mix(k) per (shingle, k) — half
+    * the inner-loop work for a value that only depends on k. Grown lazily,
+    * cached for the process (numHashes is a small constant per workload).
+    */
+  @volatile private var kSalts: Array[Long] = Array.empty
+
+  private def saltsFor(numHashes: Int): Array[Long] = {
+    val cached = kSalts
+    if (cached.length >= numHashes) cached
+    else {
+      val fresh = Array.tabulate(numHashes)(k => Rng.mix64(k.toLong))
+      kSalts = fresh
+      fresh
+    }
+  }
+
   /** MinHash signature of `numHashes` values over the shingle set.
     * Universal-hash family h_k(x) = mix(base ^ mix(k)) — one string hash
     * per shingle, then k cheap mixes.
     */
   def minhash(shingleSet: Array[String], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    val salts = saltsFor(numHashes)
     var i = 0
     while (i < shingleSet.length) {
       val base = hashString(shingleSet(i), 0L)
       var k = 0
       while (k < numHashes) {
-        val h = Rng.mix64(base ^ Rng.mix64(k.toLong))
+        val h = Rng.mix64(base ^ salts(k))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** MinHash signature straight from 64-bit shingle fingerprints (the
+    * output of [[shingleHashes]]). EXACTLY equal to
+    * [[minhash]](shingles, numHashes): the string hash is the family's
+    * base, so min over distinct hashes ≡ min over distinct strings (a
+    * 64-bit-colliding string pair contributes the same candidate twice —
+    * min unchanged). Lets callers that already fingerprint the shingles
+    * (the LSH signature frame) hash each shingle string ONCE, not twice.
+    */
+  def minhashFromHashes(hashes: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val salts = saltsFor(numHashes)
+    var i = 0
+    while (i < hashes.length) {
+      val base = hashes(i)
+      var k = 0
+      while (k < numHashes) {
+        val h = Rng.mix64(base ^ salts(k))
         if (h < sig(k)) sig(k) = h
         k += 1
       }

@@ -164,7 +164,12 @@ object TripleExtract {
     import spark.implicits._
     val trieB = spark.sparkContext.broadcast(AliasTrie.build(aliasSurfaces))
     val phrasesB = spark.sparkContext.broadcast(phrases)
-    pages.flatMap(p => scanCandidates(p.url, p.text, trieB.value, phrasesB.value))
+    // Same narrow-before-flatMap projection as extractDirect: the closure
+    // only reads (url, text); don't deserialize html per row.
+    pages.select(col("url"), col("text")).as[(String, String)]
+      .flatMap { case (url, text) =>
+        scanCandidates(url, text, trieB.value, phrasesB.value)
+      }
   }
 
   /** Fully-fused direct extraction: one narrow pass per page does mention
@@ -190,16 +195,23 @@ object TripleExtract {
       else winners0.map { case (a, (e, s)) => a -> (canon.getOrElse(e, e), s) }
     val winnersB = spark.sparkContext.broadcast(winners)
     val phrasesB = spark.sparkContext.broadcast(phrases)
-    pages.flatMap { p =>
-      val ms = Mentions.scanText(p.url, p.text, trieB.value)
-      val linked = Mentions.linkLocal(ms, winnersB.value)
-      val byBegin = linked.map(l => l.begin -> l).toMap
-      allCandidates(p.url, p.text, ms, phrasesB.value).flatMap { c =>
-        for (a <- byBegin.get(c.beginA); b <- byBegin.get(c.beginB))
-          yield Triple(a.entity, c.pred, b.entity, p.url,
-            math.min(a.conf, b.conf))
+    // Project to (url, text) BEFORE the opaque flatMap (guide: an explicit
+    // select ahead of a typed operation is the only column pruning Spark
+    // can apply through it): the closure reads only these two fields, and
+    // without the select every row deserializes the full Page — including
+    // the multi-KB html payload — just to throw it away. On the 400k-page
+    // bench this is the dominant stage's input width cut ~3×.
+    pages.select(col("url"), col("text")).as[(String, String)]
+      .flatMap { case (url, text) =>
+        val ms = Mentions.scanText(url, text, trieB.value)
+        val linked = Mentions.linkLocal(ms, winnersB.value)
+        val byBegin = linked.map(l => l.begin -> l).toMap
+        allCandidates(url, text, ms, phrasesB.value).flatMap { c =>
+          for (a <- byBegin.get(c.beginA); b <- byBegin.get(c.beginB))
+            yield Triple(a.entity, c.pred, b.entity, url,
+              math.min(a.conf, b.conf))
+        }
       }
-    }
   }
 
   /** Resolve candidates against linked mentions → deduped triples. */
