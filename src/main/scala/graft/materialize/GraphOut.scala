@@ -370,8 +370,13 @@ object GraphOut {
     */
   def verticesBucketedPlan(triples: DataFrame, numParts: Int,
                            parts: Option[Seq[Int]] = None): DataFrame = {
-    val ids = triples.select(col("subj").as("id"))
-      .union(triples.select(col("obj").as("id")))
+    // explode(array(subj, obj)), not union of two projections: the union
+    // form executes BOTH children — two full scans of the edge table for
+    // one endpoint pass. The generator emits the identical id multiset
+    // (one subj + one obj per triple) from a single scan; PlanSpec pins
+    // result equality against the reference vertices() operator.
+    val ids = triples
+      .select(explode(array(col("subj"), col("obj"))).as("id"))
       .withColumn(IcebergishTable.PartCol,
         IcebergishTable.partExpr("id", numParts))
     // Bucket filter BEFORE the exchange: a resume with few pending buckets

@@ -16,9 +16,14 @@ import graft.synth.Rng
   */
 object Ann {
 
-  /** Codegen'd dot product of two double arrays. */
+  /** Codegen'd dot product of two double arrays — a native expression,
+    * not `aggregate(zip_with(...))`: higher-order functions are
+    * CodegenFallback (interpreted per element), and the dot is the inner
+    * loop of every cosine ranking. Same IEEE fold order and null
+    * semantics (DotProductExpr doc; spec-asserted equivalence).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpr.dot_product(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column =

@@ -43,6 +43,28 @@ object TripleExtract {
     *    grammar is unambiguous: `, which <p1>` opens a clause, a following
     *    `, <p2>` closes it and resumes the anchor.
     */
+  /** The trimmed gap phrase of `text[from, until)`, or null when the gap
+    * crosses a block ('\n' present) — exactly
+    * `{ val g = text.substring(from, until); if (g.contains('\n')) null
+    *    else g.trim }` without the intermediate substring (String.trim
+    * strips chars <= ' ', mirrored here). One allocation per phrase
+    * lookup instead of two, and none at all for cross-block gaps — this
+    * runs once per adjacent mention pair of every page in the build's
+    * dominant scan stage.
+    */
+  private def gapPhrase(text: String, from: Int, until: Int): String = {
+    var i = from
+    while (i < until) {
+      if (text.charAt(i) == '\n') return null
+      i += 1
+    }
+    var s = from
+    var e = until
+    while (s < e && text.charAt(s) <= ' ') s += 1
+    while (e > s && text.charAt(e - 1) <= ' ') e -= 1
+    text.substring(s, e)
+  }
+
   def candidatesFromMentions(url: String, text: String,
                              ms: Seq[graft.Mention],
                              phrases: Map[String, String]): Seq[RelCandidate] = {
@@ -51,9 +73,8 @@ object TripleExtract {
     var i = 0
     while (i + 1 < ms.length) {
       val a = ms(i); val b = ms(i + 1)
-      val gap = text.substring(a.end, b.begin)
-      if (!gap.contains('\n')) {
-        val phrase = gap.trim
+      val phrase = gapPhrase(text, a.end, b.begin)
+      if (phrase != null) {
         phrases.get(phrase) match {
           case Some(pred) =>
             out += RelCandidate(url, a.begin, b.begin, pred)
@@ -65,8 +86,8 @@ object TripleExtract {
             var chained = true
             while (chained && j < ms.length) {
               val prev = ms(j - 1); val c = ms(j)
-              val g = text.substring(prev.end, c.begin)
-              if (!g.contains('\n') && g.trim == "and") {
+              val g = gapPhrase(text, prev.end, c.begin)
+              if (g != null && g == "and") {
                 out += RelCandidate(url, a.begin, c.begin, pred)
                 j += 1
               } else chained = false
