@@ -42,8 +42,13 @@ object Dedup {
       .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** Distinct word w-shingle array, computed with codegen'd builtins
-    * (split / sequence / transform / slice) — no UDF in the hot path.
+  /** Distinct word w-shingle array as an expression (split / sequence /
+    * transform / slice builtins). KEPT as the semantic reference for
+    * [[shinglesSqlCompat]] (spec-asserted equal) — but NOT used in the hot
+    * path: higher-order functions are CodegenFallback, and `split(text)`
+    * sits INSIDE the transform lambda, so the interpreter re-splits the
+    * whole text once PER SHINGLE INDEX — O(words²·len) per document (the
+    * same inlined-HOF pathology Ann.normalized had).
     */
   def shingleCol(textCol: Column, w: Int): Column =
     array_distinct(
@@ -51,6 +56,40 @@ object Dedup {
         .otherwise(transform(
           sequence(lit(0), size(split(textCol, " ")) - w),
           i => array_join(slice(split(textCol, " "), i + 1, lit(w)), " "))))
+
+  /** Exact typed equivalent of [[shingleCol]]: one split, one pass, O(words)
+    * per document. Semantics matched element-for-element (DedupShingleSpec
+    * asserts equality on adversarial inputs):
+    *  - `split(text, " ")` with Spark's default limit -1 keeps leading AND
+    *    trailing empty strings — Java `String.split(" ", -1)` is the same
+    *    regex split;
+    *  - fewer than w words → the single-element array [text] (even for "");
+    *  - otherwise words[i..i+w-1] joined with " " for i = 0..words.length-w;
+    *  - `.distinct` preserves first-occurrence order like array_distinct;
+    *  - null text → null array (callers explode, so null ≡ no rows).
+    */
+  private[graft] def shinglesSqlCompat(text: String, w: Int): Array[String] = {
+    if (text == null) return null
+    val words = text.split(" ", -1)
+    if (words.length < w) Array(text)
+    else {
+      val out = new Array[String](words.length - w + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i + w <= words.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out.distinct
+    }
+  }
 
   /** Exact n-gram Jaccard pairs via shingle inverted index:
     * explode(shingle) → self-join on shingle → per-pair intersection count
@@ -65,8 +104,18 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, minJaccard: Double = 0.5,
                         maxDf: Option[Int] = Some(10000)): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-        shingleCol(col(textCol), w).as("sh"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Typed one-pass shingler (O(words) per doc) replacing the shingleCol
+    // expression: HOFs are CodegenFallback and the expression form re-split
+    // the whole text once per shingle index — O(words²·len) per document
+    // in the narrow stage. Same arrays (shinglesSqlCompat ≡ shingleCol,
+    // spec-asserted), same long ids as the rest of the dedup family.
+    val docs = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, shinglesSqlCompat(text, w)) }
+      .toDF("id", "sh")
       .withColumn("nsh", size(col("sh")))
     // Consumed 2-3× (both join sides + the df-frequency filter): shingle
     // the corpus once.

@@ -120,8 +120,39 @@ object TextAnalysis {
   def winnow(text: String, k: Int = 8, window: Int = 16): Array[Long] = {
     val n = text.length
     if (n < k) return if (n == 0) Array.empty else Array(Signatures.simhash(text))
+    val hashes = kgramHashes(text, k)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val last = hashes.length - window
+    if (last < 0) return Array(hashes.min)
+    // Sliding-window minimum via monotonic index deque: O(n) total instead
+    // of O(n·window) — each index is pushed and popped at most once. The
+    // minimum VALUE per window is unchanged, so the emitted sequence (and
+    // the LinkedHashSet dedup order) is identical to the direct scan.
+    val deque = new Array[Int](hashes.length)
+    var head = 0
+    var tail = 0 // [head, tail) holds indices with increasing hash values
+    var j = 0
+    while (j < hashes.length) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      val w = j - window + 1 // window [w, j] complete once w >= 0
+      if (w >= 0) {
+        while (deque(head) < w) head += 1
+        out += hashes(deque(head))
+      }
+      j += 1
+    }
+    out.toArray
+  }
+
+  /** Rolling polynomial k-gram hashes (base 257 mod 2^64, splitmix
+    * finalize) — the winnow hash sequence, factored out so the spec can
+    * run a naive window-minimum reference over the exact same hashes.
+    * Requires text.length >= k.
+    */
+  private[graft] def kgramHashes(text: String, k: Int): Array[Long] = {
+    val n = text.length
     val hashes = new Array[Long](n - k + 1)
-    // Rolling polynomial hash base 257 mod 2^64.
     val base = 257L
     var pow = 1L
     var i = 0
@@ -136,18 +167,7 @@ object TextAnalysis {
       hashes(i) = graft.synth.Rng.mix64(h)
       i += 1
     }
-    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-    var w = 0
-    val last = hashes.length - window
-    if (last < 0) return Array(hashes.min)
-    while (w <= last) {
-      var m = hashes(w)
-      var j = w + 1
-      while (j < w + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
-      out += m
-      w += 1
-    }
-    out.toArray
+    hashes
   }
 
   /** Distributed winnowing fingerprints: (id, array of sketch hashes). */

@@ -347,6 +347,68 @@ class OpsSpec extends SparkSpec {
     assert(TextAnalysis.winnow("ab").nonEmpty)
   }
 
+  test("typed shingler equals the shingleCol expression on adversarial texts") {
+    // The r07 hot-path shingler (one split, one pass) must emit EXACTLY the
+    // arrays of the expression it replaced — including the split(" ", -1)
+    // edge semantics (leading/trailing/double spaces produce empty-string
+    // words), the <w-words fallback to [text], and null propagation.
+    val texts = Seq(
+      null, "", " ", "  ", "a", "a b", "a b c", "a b c d e",
+      " a b c", "a b c ", "a b c  ", "a  b  c  d", "  ",
+      "x y z x y z x y z", // repeated shingles → distinct collapses
+      "a\tb c d e", // tab is not a split char
+      "é ß 漢 字 x y", "one two three four five six seven eight")
+    val spark0 = spark
+    import spark0.implicits._
+    Seq(1, 2, 3, 5).foreach { w =>
+      val viaExpr = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"), Dedup.shingleCol(col("text"), w).as("sh"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[String](1).toList))
+        .toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val typed = Dedup.shinglesSqlCompat(t, w)
+        val expected = viaExpr(i.toLong)
+        assert((if (typed == null) null else typed.toList) == expected,
+          s"w=$w text=${Option(t).map("'" + _ + "'").getOrElse("null")}: " +
+            s"typed=${Option(typed).map(_.toList)} expr=$expected")
+      }
+    }
+  }
+
+  test("winnow window-minimum deque equals the direct scan") {
+    // The r07 O(n) monotonic-deque sliding minimum must emit the exact
+    // minima sequence of the naive O(n·window) scan over the same k-gram
+    // hashes (same values, same first-occurrence order into the set).
+    def naive(text: String, k: Int, window: Int): Array[Long] = {
+      if (text.length < k)
+        return if (text.isEmpty) Array.empty else Array(Signatures.simhash(text))
+      val hashes = TextAnalysis.kgramHashes(text, k)
+      val last = hashes.length - window
+      if (last < 0) return Array(hashes.min)
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var w = 0
+      while (w <= last) {
+        var m = hashes(w)
+        var j = w + 1
+        while (j < w + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        out += m
+        w += 1
+      }
+      out.toArray
+    }
+    val texts = Seq("", "ab", "abcdefgh", "abcdefghi",
+      "the quick brown fox jumps over the lazy dog " * 8,
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // all-equal hashes (tie handling)
+      "abababababababababababababab",
+      (0 until 500).map(i => ('a' + (i * 7 % 26)).toChar).mkString)
+    for (t <- texts; (k, win) <- Seq((8, 16), (4, 4), (8, 2), (3, 50)))
+      assert(TextAnalysis.winnow(t, k, win).toSeq == naive(t, k, win).toSeq,
+        s"k=$k window=$win len=${t.length}")
+  }
+
   test("multimodal: feature extraction, resize, frame sampling plumbing") {
     val spark0 = spark
     import spark0.implicits._
