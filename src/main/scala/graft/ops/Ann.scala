@@ -42,7 +42,11 @@ object Ann {
   def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val asDouble = transform(col(vecCol), x => x.cast("double"))
+    // Native array cast, not transform(x => x.cast): Cast on ArrayType is
+    // codegen'd with the SAME per-element cast semantics, while transform
+    // is a CodegenFallback HOF walking the array interpreted. float→double
+    // widening is exact either way.
+    val asDouble = col(vecCol).cast("array<double>")
     df.select(col(idCol).cast("long").as("id"), asDouble.as("v"))
       .as[(Long, Seq[Double])]
       .mapPartitions(_.flatMap { case (id, vec) =>
