@@ -184,10 +184,26 @@ object Ann {
     * before any file is opened).
     */
   def writeLshIndex(df: DataFrame, idCol: String, vecCol: String,
-                    path: String, nBits: Int = 10, seed: Long = 4242L): Unit =
-    lshBuckets(df, idCol, vecCol, nBits, seed)
-      .repartition(col("bucket")) // one writer wave per bucket, no tiny files
+                    path: String, nBits: Int = 10, seed: Long = 4242L): Unit = {
+    val b = lshBuckets(df, idCol, vecCol, nBits, seed)
+    b.repartition(indexWriteTasks(b, 1 << nBits), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Task count for a bucket/cell-partitioned index write. The cost of a
+    * dynamic-partition write is per FILE created (parquet writer init +
+    * footer; an object-store PUT each at scale), not per byte — but AQE's
+    * byte-based coalescing only sees bytes, so a small index shuffle
+    * collapses to ONE task that opens every `bucket=<b>` writer serially
+    * (measured 11.3 s → 2.5 s for a 2^10-bucket index at sf0.1 once the
+    * count is explicit). An explicit count pins the parallelism: bounded by
+    * the partition-value count (one file per bucket either way — each
+    * bucket hashes to exactly one task) and scaled from cluster width, not
+    * a local constant.
+    */
+  private def indexWriteTasks(df: DataFrame, nPartitionValues: Int): Int =
+    math.max(1, math.min(nPartitionValues,
+      df.sparkSession.sparkContext.defaultParallelism * 2))
 
   /** Probe a [[writeLshIndex]] index: scans ONLY the probed buckets'
     * partitions (the 1-bit multiprobe neighborhood), ranks by exact cosine.
@@ -196,19 +212,29 @@ object Ann {
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queryId: Long, k: Int, nBits: Int = 10,
                      fullProbe: Boolean = false): DataFrame = {
+    import spark.implicits._
     val index = spark.read.parquet(path)
-    val qRow = index.where(col("id") === queryId)
-      .select(col("v"), col("bucket")).head()
-    val qBucket = qRow.getInt(1)
     // fullProbe = every bucket (provably ≡ brute force — the IVF
     // full-probe trick): it drags the ENTIRE indexed read path (partition
     // discovery, bucket layout, cosine ranking) under the brute-force
     // DuckDB oracle. The approximate multiprobe path keeps its recall spec.
+    // ONE eager lookup fetches the query row (vector + bucket together —
+    // the query's bucket is unknowable without a scan, so this pass over
+    // the index is unavoidable); the vector re-enters the plan as a 1-row
+    // local relation. The old shape paid that unpruned scan TWICE per
+    // probe: once for `.head()` and once inside a broadcast-exchange
+    // subquery for the query vector. The doubles round-trip the driver
+    // bit-exactly, so the cosine ranking is unchanged.
+    val qRow = index.where(col("id") === queryId)
+      .select(col("v"), col("bucket")).head()
     val probes =
       if (fullProbe) Array.tabulate(1 << nBits)(identity)
-      else qBucket +: Array.tabulate(nBits)(b => qBucket ^ (1 << b))
-    val q = broadcast(index.where(col("id") === queryId)
-      .select(col("v").as("qv")))
+      else {
+        val qBucket = qRow.getInt(1)
+        qBucket +: Array.tabulate(nBits)(b => qBucket ^ (1 << b))
+      }
+    val q = broadcast(Seq(Tuple1(qRow.getSeq[Double](0)))
+      .toDF("qv"))
     index
       .where(col("bucket").isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
       .where(col("id") =!= queryId)
@@ -410,8 +436,8 @@ object Ann {
     val spark = df.sparkSession
     import spark.implicits._
     val cents = ivfCentroids(df, idCol, vecCol, nCells, iters)
-    ivfIndex(df, idCol, vecCol, cents)
-      .repartition(col("cell"))
+    val idx = ivfIndex(df, idCol, vecCol, cents)
+    idx.repartition(indexWriteTasks(idx, nCells), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
