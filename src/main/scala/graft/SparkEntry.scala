@@ -233,7 +233,15 @@ object SparkEntry {
     "q_join_salted" -> ((s, dir) => {
       // Same semantics as a plain join — explicit salting for skewed keys
       // (north_rule hub-entity case); oracle proves result equivalence.
+      // Project BEFORE salting: SaltedJoin's deterministic per-row salt
+      // hashes the whole row, so every column handed to it is read by the
+      // scan AND hashed per row — the unprojected table cost 11 columns of
+      // both for a 3-column query (guide §2.3; plan evidence in
+      // plans/r07/q_join_salted_{before,after}.txt). The salt value
+      // changes with the projection (any value in [0, salt) is valid and
+      // this one is still retry-deterministic); the join result does not.
       val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       ops.SaltedJoin.inner(li, orders, "l_orderkey", salt = 8)
